@@ -1,0 +1,116 @@
+"""Mesh connectivity and FV geometry tests."""
+
+import numpy as np
+
+from waiwera_tpu.mesh import rectangular_mesh, column_mesh
+from waiwera_tpu.mesh.core import add_boundaries, build_mesh
+
+
+def test_column_geometry():
+    m = column_mesh([10.0] * 5, area=1.0)
+    assert m.num_cells == 5
+    assert m.num_faces == 4
+    np.testing.assert_allclose(m.cell_volume, 10.0)
+    np.testing.assert_allclose(m.face_area, 1.0)
+    np.testing.assert_allclose(m.face_distance12, -np.diff(m.cell_centroid[:, 1]) * 0 + 10.0)
+    np.testing.assert_allclose(np.abs(m.face_distance), 5.0)
+    # cells ordered top down; faces vertical; gravity normal = +-9.8
+    np.testing.assert_allclose(np.abs(m.face_gravity_normal), 9.8)
+    # normal oriented cell0 -> cell1 (downwards, -y)
+    sign = np.sign(
+        m.cell_centroid[m.face_cells[:, 1], 1]
+        - m.cell_centroid[m.face_cells[:, 0], 1]
+    )
+    np.testing.assert_allclose(np.sign(m.face_gravity_normal), -sign * np.sign(-9.8) * -1)
+
+
+def test_rect3d_geometry():
+    m = rectangular_mesh([1.0, 2.0], [3.0], [4.0, 5.0])
+    assert m.num_cells == 4
+    np.testing.assert_allclose(
+        np.sort(m.cell_volume), [12.0, 15.0, 24.0, 30.0]
+    )
+    # internal faces: 2 vertical pairs (area 3*4, 3*5) + 2 horizontal
+    # (1*3, 2*3)
+    assert m.num_faces == 4
+    np.testing.assert_allclose(
+        np.sort(m.face_area), [3.0, 6.0, 12.0, 15.0]
+    )
+    np.testing.assert_allclose(m.cell_centroid[0], [0.5, 1.5, 2.0])
+    # gravity normal nonzero only for horizontal faces
+    gnorm = np.sort(np.abs(m.face_gravity_normal))
+    np.testing.assert_allclose(gnorm, [0.0, 0.0, 9.8, 9.8])
+
+
+def test_face_count_box():
+    m = rectangular_mesh([1.0] * 3, [1.0] * 4, [1.0] * 5)
+    n = 3 * 4 * 5
+    assert m.num_cells == n
+    expected_faces = 2 * 4 * 5 + 3 * 3 * 5 + 3 * 4 * 4
+    assert m.num_faces == expected_faces
+    np.testing.assert_allclose(m.cell_volume, 1.0)
+    np.testing.assert_allclose(m.face_distance12, 1.0)
+
+
+def test_tet_geometry():
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]],
+        dtype=float,
+    )
+    conn = np.array([[0, 1, 2, 3], [1, 2, 3, 4]])
+    m = build_mesh(verts, [("tetra", conn)])
+    np.testing.assert_allclose(m.cell_volume[0], 1.0 / 6.0, rtol=1e-12)
+    assert m.num_faces == 1  # shared face (1,2,3)
+    # shared face area: triangle (1,0,0),(0,1,0),(0,0,1) = sqrt(3)/2
+    np.testing.assert_allclose(m.face_area[0], np.sqrt(3) / 2, rtol=1e-12)
+
+
+def test_radial_mesh():
+    # 2D radial (r, z): one ring cell from r=1..2, z=0..1
+    m = rectangular_mesh([1.0, 1.0], [1.0], None, radial=True)
+    # volume = area * 2*pi*r_centroid
+    np.testing.assert_allclose(
+        m.cell_volume, [2 * np.pi * 0.5, 2 * np.pi * 1.5], rtol=1e-12
+    )
+    # internal face at r=1: area = 1 * 2*pi*1
+    np.testing.assert_allclose(m.face_area, [2 * np.pi], rtol=1e-12)
+
+
+def test_boundaries():
+    m = column_mesh([10.0] * 3)
+    add_boundaries(
+        m,
+        [
+            {
+                "primary": [1.0e5, 20.0],
+                "region": 1,
+                "faces": {"cells": [0], "normal": [0.0, 1.0]},
+            }
+        ],
+        npv=2,
+    )
+    assert m.num_cells == 4
+    assert m.is_ghost[3]
+    assert m.cell_volume[3] == 0.0
+    # new face connects cell 0 to ghost 3 with distance [5, 0]
+    fc = m.face_cells[-1]
+    np.testing.assert_array_equal(fc, [0, 3])
+    np.testing.assert_allclose(m.face_distance[-1], [5.0, 0.0])
+    np.testing.assert_allclose(m.face_distance12[-1], 5.0)
+    # ghost centroid on the face (top of column, y=0)
+    np.testing.assert_allclose(m.cell_centroid[3, 1], 0.0, atol=1e-14)
+    b = m.boundaries[0]
+    np.testing.assert_array_equal(b.cells, [3])
+    assert b.region == 1
+
+
+def test_nonorthogonal_distance_correction():
+    # skewed quad mesh: distances scaled so d1+d2 = d12
+    verts = np.array(
+        [[0, 0], [1, 0], [2, 0], [0, 1], [1.2, 1], [2.2, 1]], dtype=float
+    )
+    conn = np.array([[0, 1, 4, 3], [1, 2, 5, 4]])
+    m = build_mesh(verts, [("quad", conn)])
+    np.testing.assert_allclose(
+        m.face_distance.sum(axis=1), m.face_distance12, rtol=1e-12
+    )
