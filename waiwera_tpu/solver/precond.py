@@ -1,0 +1,158 @@
+"""Preconditioners for BSR systems.
+
+Replacements for the PC types Waiwera uses (timestepper.F90:1743-1835):
+- block-Jacobi at cell-block granularity (exact small-block inverse)
+- block ILU(0) with fixed-point (Jacobi-style) triangular sweeps: the
+  sequential SpTRSV the reference gets from PETSc ILU is replaced by a
+  few data-parallel relaxation sweeps, which map far better onto the
+  TPU's vector units than a level-scheduled solve.
+- none
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from waiwera_tpu.solver.bsr import BSRMatrix, BSRStructure
+
+Array = jnp.ndarray
+
+
+def block_jacobi(matrix: BSRMatrix) -> Callable[[Array], Array]:
+    """z = D^{-1} r with D the cell-diagonal blocks."""
+    inv = jnp.linalg.inv(matrix.diag_blocks())  # [N, b, b]
+
+    def apply(r: Array) -> Array:
+        return jnp.einsum("nij,nj->ni", inv, r)
+
+    return apply
+
+
+class ILU0Data(NamedTuple):
+    """Static split of the sparsity into strictly-lower / strictly-upper
+    parts (host-built)."""
+
+    lower_pos: Array  # positions in data of strictly lower blocks
+    lower_rows: Array
+    lower_cols: Array
+    upper_pos: Array
+    upper_rows: Array
+    upper_cols: Array
+
+
+def ilu0_split(structure: BSRStructure) -> ILU0Data:
+    rows = np.asarray(structure.rows)
+    cols = np.asarray(structure.indices)
+    low = np.nonzero(cols < rows)[0]
+    up = np.nonzero(cols > rows)[0]
+    return ILU0Data(
+        lower_pos=jnp.asarray(low, jnp.int32),
+        lower_rows=jnp.asarray(rows[low], jnp.int32),
+        lower_cols=jnp.asarray(cols[low], jnp.int32),
+        upper_pos=jnp.asarray(up, jnp.int32),
+        upper_rows=jnp.asarray(rows[up], jnp.int32),
+        upper_cols=jnp.asarray(cols[up], jnp.int32),
+    )
+
+
+def dilu(matrix: BSRMatrix, split: ILU0Data, sweeps: int = 3):
+    """D-ILU / block SGS-style preconditioner with iterative triangular
+    solves.
+
+    Factor M = (D~ + L) D~^{-1} (D~ + U) where D~ are modified diagonal
+    blocks (DILU: D~_i = A_ii - sum_{j<i} A_ij D~_j^{-1} A_ji computed
+    approximately by one Jacobi pass), and the two triangular solves are
+    approximated by `sweeps` fixed-point iterations:
+        z <- D~^{-1} (r - L z)   (forward)
+        z <- z - D~^{-1} U z_up  (backward, same scheme)
+
+    With enough sweeps this converges to exact block-SGS; 2-3 sweeps
+    already recover most of the preconditioning quality while remaining
+    fully data-parallel.
+    """
+    s = matrix.structure
+    diag = matrix.diag_blocks()  # [N, b, b]
+
+    lower = matrix.data[split.lower_pos]  # [nl, b, b]
+    upper = matrix.data[split.upper_pos]  # [nu, b, b]
+
+    # DILU modified diagonal (one pass; exact for lower-triangular
+    # orderings of depth 1, approximate otherwise)
+    inv0 = jnp.linalg.inv(diag)
+    # contribution sum_{j<i} A_ij inv(D_j) A_ji: pair lower (i,j) with
+    # upper (j,i) — positions correspond via transposed sparsity.
+    # Approximate using inv of the unmodified diagonal.
+    corr = jnp.einsum(
+        "kij,kjl,klm->kim",
+        lower,
+        inv0[split.lower_cols],
+        _transpose_blocks(matrix, split),
+    )
+    dmod = diag.at[split.lower_rows].add(-corr)
+    dinv = jnp.linalg.inv(dmod)
+
+    def apply(r: Array) -> Array:
+        # forward: (D~ + L) y = r  via fixed-point y = D~^{-1}(r - L y)
+        y = jnp.einsum("nij,nj->ni", dinv, r)
+
+        def fwd(_, y):
+            ly = jnp.zeros_like(r)
+            prod = jnp.einsum("kij,kj->ki", lower, y[split.lower_cols])
+            ly = ly.at[split.lower_rows].add(prod)
+            return jnp.einsum("nij,nj->ni", dinv, r - ly)
+
+        y = lax.fori_loop(0, sweeps, fwd, y)
+
+        # backward: (I + D~^{-1} U) z = y via z = y - D~^{-1} U z
+        z = y
+
+        def bwd(_, z):
+            uz = jnp.zeros_like(r)
+            prod = jnp.einsum("kij,kj->ki", upper, z[split.upper_cols])
+            uz = uz.at[split.upper_rows].add(prod)
+            return y - jnp.einsum("nij,nj->ni", dinv, uz)
+
+        z = lax.fori_loop(0, sweeps, bwd, z)
+        return z
+
+    return apply
+
+
+def _transpose_blocks(matrix: BSRMatrix, split: ILU0Data) -> Array:
+    """Blocks A_ji for each strictly-lower block A_ij (gathered via the
+    transposed position map)."""
+    s = matrix.structure
+    # position of (col, row) block for each lower (row, col) block:
+    # search in the sorted (row-major) key array.
+    rows = s.rows.astype(jnp.int64)
+    cols = s.indices.astype(jnp.int64)
+    n = s.num_rows
+    key = rows * n + cols
+    want = (
+        s.indices[split.lower_pos].astype(jnp.int64) * n
+        + s.rows[split.lower_pos].astype(jnp.int64)
+    )
+    pos = jnp.searchsorted(key, want)
+    return matrix.data[pos]
+
+
+def make_preconditioner(
+    name: str, matrix: BSRMatrix, split: ILU0Data = None, sweeps: int = 3
+):
+    """PC factory matching the reference's JSON names
+    (timestepper.F90:1743-1835): bjacobi, asm/ilu (mapped to the
+    data-parallel DILU/SGS scheme), none."""
+    if name in ("none",):
+        return lambda r: r
+    if name in ("bjacobi", "jacobi"):
+        return block_jacobi(matrix)
+    if name in ("asm", "ilu", "dilu", "sgs"):
+        if split is None:
+            split = ilu0_split(matrix.structure)
+        return dilu(matrix, split, sweeps=sweeps)
+    raise ValueError(f"unknown preconditioner: {name!r}")
