@@ -89,16 +89,11 @@ def test_fluid_properties_two_phase():
 
 
 def run_transition(eos, old_primary, primary, old_region, old_temperature):
-    n = len(old_region)
-    old_fluid = empty_fluid(n, 2, 1)._replace(
-        region=jnp.asarray(old_region, jnp.int32),
-        temperature=jnp.asarray(old_temperature, jnp.float64),
-    )
     return eos.transition(
         jnp.asarray(old_primary, jnp.float64),
         jnp.asarray(primary, jnp.float64),
-        old_fluid,
         jnp.asarray(old_region, jnp.int32),
+        jnp.asarray(old_temperature, jnp.float64),
     )
 
 

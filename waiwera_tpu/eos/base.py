@@ -67,15 +67,17 @@ class EOS:
         self,
         old_primary: Array,
         primary: Array,
-        old_fluid: FluidState,
         region: Array,
+        old_temperature: Array,
     ):
         """Check per-cell primary variables against their region and
         apply thermodynamic region transitions.
 
-        Returns (new_primary, new_region, transition_mask[N], err[N]).
+        old_primary/old_temperature are from the start of the Newton
+        iteration (the reference's last_iteration_fluid). Returns
+        (new_primary, new_region, transition_mask[N], err[N]).
         """
-        del old_primary, old_fluid
+        del old_primary, old_temperature
         return primary, region, jnp.zeros(region.shape, bool), jnp.zeros(
             region.shape, bool
         )

@@ -128,10 +128,10 @@ class EOSWaterEnergy(EOS):
 
     # -- transitions (eos_we.F90:149-323) ---------------------------
 
-    def transition(self, old_primary, primary, old_fluid, region):
+    def transition(self, old_primary, primary, region, old_temperature):
         p = primary[:, 0]
         second = primary[:, 1]
-        old_region = old_fluid.region
+        old_region = region
 
         was_two_phase = old_region == 4
 
@@ -148,14 +148,12 @@ class EOSWaterEnergy(EOS):
         p_interp = old_primary[:, 0] + xi * (p - old_primary[:, 0])
         t_interp, terr = self.thermo.saturation_temperature(p_interp)
         # fallback: old fluid temperature's saturation pressure
-        p_old_sat, perr = self.thermo.saturation_pressure(
-            old_fluid.temperature
-        )
+        p_old_sat, perr = self.thermo.saturation_pressure(old_temperature)
         sp_pressure = jnp.where(
             xi_ok & ~terr, pressure_factor * p_interp,
             pressure_factor * p_old_sat,
         )
-        sp_temperature = jnp.where(xi_ok & ~terr, t_interp, old_fluid.temperature)
+        sp_temperature = jnp.where(xi_ok & ~terr, t_interp, old_temperature)
         sp_err = jnp.where(xi_ok & ~terr, jnp.zeros_like(terr), perr)
         sp_region = jnp.where(to_liquid, 1, 2)
 

@@ -45,66 +45,70 @@ def _harmonic_average(x1, x2, d1, d2, d12):
     return jnp.where(jnp.abs(wx) > 1e-30, x1 * x2 / jnp.where(jnp.abs(wx) > 1e-30, wx, 1.0), 0.0)
 
 
-def face_fluxes(
-    fluid: FluidState,
-    rock: RockState,
-    conductivity: Array,
+def gather_state(state, idx: Array):
+    """Gather rows idx from every leaf of a state pytree.
+
+    float0 leaves (tangents of integer fields under jvp) are reshaped
+    without data movement.
+    """
+    import numpy as np
+
+    def g(a):
+        if isinstance(a, np.ndarray) and a.dtype == jax.dtypes.float0:
+            return np.zeros((idx.shape[0],) + a.shape[1:], jax.dtypes.float0)
+        return a[idx]
+
+    return jax.tree_util.tree_map(g, state)
+
+
+def face_fluxes_pairs(
+    fl: FluidState,
+    fr: FluidState,
+    perm_l: Array,
+    perm_r: Array,
+    cond_l,
+    cond_r,
     mesh: MeshArrays,
     num_primary: int,
     num_mobile_phases: int,
     isothermal: bool,
 ) -> Array:
     """[F, npv + num_mobile_phases] fluxes through each face from
-    cell 1 to cell 2 (face.F90:443-515): per-component mass fluxes,
-    energy flux (non-isothermal), then per-phase total mass fluxes.
+    cell 1 to cell 2 (face.F90:443-515), given the two cells' fluid
+    states gathered per face ([F]-shaped FluidStates): per-component
+    mass fluxes, energy flux (non-isothermal), then per-phase total
+    mass fluxes.
 
-    `conductivity` is the per-cell effective heat conductivity
-    (eos.conductivity), gathered here per face.
+    perm_l/perm_r: direction-selected rock permeability per side [F].
+    cond_l/cond_r: per-side effective heat conductivity [F] (or None
+    when isothermal).
+
+    Written over gathered pairs so that jvp against one side yields the
+    face Jacobian blocks dflux/dy_side directly.
     """
-    nc = fluid.num_components
-    np_ = num_primary
-    cl = mesh.face_cells[:, 0]
-    cr = mesh.face_cells[:, 1]
+    nc = fl.mass_fraction.shape[-1]
     d1 = mesh.face_distance[:, 0]
     d2 = mesh.face_distance[:, 1]
     d12 = mesh.face_distance12
 
     # permeability: direction-selected, harmonic (face.F90:381-398)
-    perm_l = (
-        jnp.take_along_axis(
-            rock.permeability[cl],
-            mesh.face_permeability_direction[:, None],
-            axis=1,
-        )[:, 0]
-        * fluid.permeability_factor[cl]
+    k = _harmonic_average(
+        perm_l * fl.permeability_factor,
+        perm_r * fr.permeability_factor,
+        d1,
+        d2,
+        d12,
     )
-    perm_r = (
-        jnp.take_along_axis(
-            rock.permeability[cr],
-            mesh.face_permeability_direction[:, None],
-            axis=1,
-        )[:, 0]
-        * fluid.permeability_factor[cr]
-    )
-    k = _harmonic_average(perm_l, perm_r, d1, d2, d12)
 
-    p_l = fluid.pressure[cl]
-    p_r = fluid.pressure[cr]
-    t_l = fluid.temperature[cl]
-    t_r = fluid.temperature[cr]
-
-    out = []
-
-    # phase loop (static, <= 3 phases)
-    phases_l = fluid.phase_composition[cl]
-    phases_r = fluid.phase_composition[cr]
-    comp_flux = jnp.zeros((cl.shape[0], nc))
-    energy_flux = jnp.zeros(cl.shape[0])
+    phases_l = fl.phase_composition
+    phases_r = fr.phase_composition
+    nfaces = d12.shape[0]
+    comp_flux = jnp.zeros((nfaces, nc))
+    energy_flux = jnp.zeros(nfaces)
     phase_flux = []
 
-    sat = fluid.saturation
-    rho = fluid.density
-    mob = fluid.mobility()
+    mob_l = fl.mobility()
+    mob_r = fr.mobility()
 
     for p in range(num_mobile_phases):
         bit = 1 << p
@@ -112,53 +116,96 @@ def face_fluxes(
         in_r = (phases_r & bit) > 0
         present = in_l | in_r
 
-        s_l = sat[cl, p]
-        s_r = sat[cr, p]
-        r_l = rho[cl, p]
-        r_r = rho[cr, p]
+        s_l = fl.saturation[:, p]
+        s_r = fr.saturation[:, p]
         wsum = s_l + s_r
         face_density = jnp.where(
             wsum > 0.0,
-            (s_l * r_l + s_r * r_r) / jnp.where(wsum > 0, wsum, 1.0),
+            (s_l * fl.density[:, p] + s_r * fr.density[:, p])
+            / jnp.where(wsum > 0, wsum, 1.0),
             0.0,
         )
 
-        pc_l = fluid.capillary_pressure[cl, p]
-        pc_r = fluid.capillary_pressure[cr, p]
-        dpdn = ((p_r + pc_r) - (p_l + pc_l)) / d12
+        dpdn = (
+            (fr.pressure + fr.capillary_pressure[:, p])
+            - (fl.pressure + fl.capillary_pressure[:, p])
+        ) / d12
         g = dpdn - face_density * mesh.face_gravity_normal
 
         up_is_l = g <= 0.0  # upstream_index (face.F90:426-439)
-        up_cell = jnp.where(up_is_l, cl, cr)
         up_in = jnp.where(up_is_l, in_l, in_r)
         active = present & up_in
 
-        mob_up = mob[up_cell, p]
+        mob_up = jnp.where(up_is_l, mob_l[:, p], mob_r[:, p])
         f = jnp.where(active, -k * mob_up * g, 0.0)
-        xf_up = fluid.mass_fraction[up_cell, p, :]  # [F, nc]
+        xf_up = jnp.where(
+            up_is_l[:, None],
+            fl.mass_fraction[:, p, :],
+            fr.mass_fraction[:, p, :],
+        )
         pcf = f[:, None] * xf_up
         comp_flux = comp_flux + jnp.where(active[:, None], pcf, 0.0)
         if not isothermal:
-            h_up = fluid.specific_enthalpy[up_cell, p]
+            h_up = jnp.where(
+                up_is_l,
+                fl.specific_enthalpy[:, p],
+                fr.specific_enthalpy[:, p],
+            )
             energy_flux = energy_flux + jnp.where(active, h_up * f, 0.0)
         phase_flux.append(jnp.where(active, jnp.sum(pcf, axis=-1), 0.0))
 
     if not isothermal:
-        cond = _harmonic_average(
-            conductivity[cl], conductivity[cr], d1, d2, d12
-        )
-        dtdn = (t_r - t_l) / d12
+        cond = _harmonic_average(cond_l, cond_r, d1, d2, d12)
+        dtdn = (fr.temperature - fl.temperature) / d12
         energy_flux = energy_flux - cond * dtdn
-        out = jnp.concatenate(
+        return jnp.concatenate(
             [comp_flux, energy_flux[:, None]]
             + [pf[:, None] for pf in phase_flux],
             axis=-1,
         )
-    else:
-        out = jnp.concatenate(
-            [comp_flux] + [pf[:, None] for pf in phase_flux], axis=-1
-        )
-    return out
+    return jnp.concatenate(
+        [comp_flux] + [pf[:, None] for pf in phase_flux], axis=-1
+    )
+
+
+def face_permeability_sides(rock: RockState, mesh: MeshArrays):
+    """Direction-selected rock permeability on each side of each face."""
+    cl = mesh.face_cells[:, 0]
+    cr = mesh.face_cells[:, 1]
+    dir_ = mesh.face_permeability_direction[:, None]
+    perm_l = jnp.take_along_axis(rock.permeability[cl], dir_, axis=1)[:, 0]
+    perm_r = jnp.take_along_axis(rock.permeability[cr], dir_, axis=1)[:, 0]
+    return perm_l, perm_r
+
+
+def face_fluxes(
+    fluid: FluidState,
+    rock: RockState,
+    conductivity,
+    mesh: MeshArrays,
+    num_primary: int,
+    num_mobile_phases: int,
+    isothermal: bool,
+) -> Array:
+    """Convenience wrapper of face_fluxes_pairs gathering both sides
+    from full-mesh state arrays."""
+    cl = mesh.face_cells[:, 0]
+    cr = mesh.face_cells[:, 1]
+    perm_l, perm_r = face_permeability_sides(rock, mesh)
+    cond_l = conductivity[cl] if conductivity is not None else None
+    cond_r = conductivity[cr] if conductivity is not None else None
+    return face_fluxes_pairs(
+        gather_state(fluid, cl),
+        gather_state(fluid, cr),
+        perm_l,
+        perm_r,
+        cond_l,
+        cond_r,
+        mesh,
+        num_primary,
+        num_mobile_phases,
+        isothermal,
+    )
 
 
 def cell_inflows(

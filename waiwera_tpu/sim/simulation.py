@@ -1,0 +1,292 @@
+"""Flow simulation: couples mesh, EOS, rocks, sources and boundary
+conditions into jitted timestep functions.
+
+Counterpart of flow_simulation.F90. The simulation owns:
+- the host Mesh and its device arrays
+- the System (residual + AD Jacobian)
+- rock properties per cell (from JSON rock types, rock.F90 defaults)
+- Dirichlet boundaries as fixed ghost rows of the solution vector
+- the source network (basic sources this round)
+
+JSON schema follows the reference (doc/user/setup_*.rst).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from waiwera_tpu import thermo as thermo_mod
+from waiwera_tpu import eos as eos_mod
+from waiwera_tpu.mesh.core import Mesh, add_boundaries
+from waiwera_tpu.mesh.device import mesh_arrays
+from waiwera_tpu.physics import relperm as relperm_mod
+from waiwera_tpu.physics import capillarity as cp_mod
+from waiwera_tpu.physics.state import (
+    DEFAULT_HEAT_CONDUCTIVITY,
+    DEFAULT_PERMEABILITY,
+    DEFAULT_POROSITY,
+    DEFAULT_ROCK_DENSITY,
+    DEFAULT_SPECIFIC_HEAT,
+    RockState,
+)
+from waiwera_tpu.sim.sources import Sources
+from waiwera_tpu.solver.newton import NewtonParams, newton_solve
+from waiwera_tpu.solver.system import MethodCoeffs, System
+
+Array = jnp.ndarray
+
+
+class Simulation:
+    def __init__(self, config: dict, mesh: Optional[Mesh] = None):
+        self.config = config
+        self.title = config.get("title", "")
+
+        # thermodynamics (thermodynamics_setup.F90)
+        thermo_name = config.get("thermodynamics", "iapws")
+        if isinstance(thermo_name, dict):
+            thermo_name = thermo_name.get("name", "iapws")
+        self.thermo = thermo_mod.from_name(thermo_name)
+
+        # global relative permeability / capillarity (rock.* in JSON)
+        rock_cfg = config.get("rock", {}) or {}
+        self.relative_permeability = relperm_mod.from_json(
+            rock_cfg.get("relative_permeability")
+        )
+        self.capillary_pressure = cp_mod.from_json(
+            rock_cfg.get("capillary_pressure")
+        )
+
+        # EOS
+        self.eos = eos_mod.from_json(
+            config,
+            self.thermo,
+            self.relative_permeability,
+            self.capillary_pressure,
+        )
+        npv = self.eos.num_primary_variables
+
+        # mesh
+        if mesh is None:
+            mesh = self._mesh_from_config(config)
+        self.mesh = mesh
+
+        # boundaries add ghost cells (must precede rock/initial setup)
+        add_boundaries(mesh, config.get("boundaries", []) or [], npv)
+
+        self.mesh_dev = mesh_arrays(mesh)
+        n = mesh.num_cells
+
+        # rocks
+        self.rock = self._setup_rock(rock_cfg, mesh)
+
+        # sources
+        src_cfg = config.get("source", []) or []
+        if isinstance(src_cfg, dict):
+            src_cfg = [src_cfg]
+        self.sources = Sources(src_cfg, mesh, self.eos) if src_cfg else None
+
+        self.system = System(
+            self.eos,
+            self.mesh_dev,
+            self.sources.arrays if self.sources else None,
+        )
+
+        # initial conditions
+        self.y0, self.region0 = self._setup_initial(config, mesh)
+
+    # ------------------------------------------------------------------
+
+    def _mesh_from_config(self, config) -> Mesh:
+        mesh_cfg = config.get("mesh")
+        if mesh_cfg is None:
+            raise ValueError("no mesh specified")
+        if isinstance(mesh_cfg, str):
+            mesh_cfg = {"filename": mesh_cfg}
+        gravity = config.get("gravity")
+        if isinstance(gravity, (int, float)):
+            gravity = None if gravity is None else [0.0, 0.0, -float(gravity)]
+        radial = bool(mesh_cfg.get("radial", False))
+        thickness = float(mesh_cfg.get("thickness", 1.0))
+        if "filename" in mesh_cfg:
+            from waiwera_tpu.mesh.gmsh import read_gmsh
+
+            return read_gmsh(
+                mesh_cfg["filename"],
+                gravity=gravity,
+                radial=radial,
+                thickness=thickness,
+            )
+        # generator extensions (not in the reference schema)
+        if mesh_cfg.get("type") == "column":
+            from waiwera_tpu.mesh.rect import column_mesh
+
+            return column_mesh(
+                mesh_cfg["dz"], area=mesh_cfg.get("area", 1.0),
+                gravity=gravity,
+            )
+        if mesh_cfg.get("type") == "rectangular":
+            from waiwera_tpu.mesh.rect import rectangular_mesh
+
+            return rectangular_mesh(
+                mesh_cfg.get("dx"),
+                mesh_cfg.get("dy"),
+                mesh_cfg.get("dz"),
+                gravity=gravity,
+                radial=radial,
+                thickness=thickness,
+            )
+        raise ValueError(f"cannot build mesh from: {mesh_cfg!r}")
+
+    def _setup_rock(self, rock_cfg, mesh: Mesh) -> RockState:
+        n = mesh.num_cells
+        perm = np.full((n, 3), DEFAULT_PERMEABILITY)
+        wetk = np.full(n, DEFAULT_HEAT_CONDUCTIVITY)
+        dryk = np.full(n, DEFAULT_HEAT_CONDUCTIVITY)
+        poro = np.full(n, DEFAULT_POROSITY)
+        dens = np.full(n, DEFAULT_ROCK_DENSITY)
+        sph = np.full(n, DEFAULT_SPECIFIC_HEAT)
+        for rt in rock_cfg.get("types", []) or []:
+            cells = np.asarray(rt.get("cells", []), dtype=np.int64)
+            if len(cells) == 0:
+                cells = np.arange(mesh.num_interior_cells)
+            k = rt.get("permeability", DEFAULT_PERMEABILITY)
+            k = np.atleast_1d(np.asarray(k, dtype=np.float64))
+            if len(k) < 3:
+                k = np.concatenate([k, np.full(3 - len(k), k[-1])])
+            perm[cells] = k
+            wetk[cells] = rt.get(
+                "wet_conductivity", DEFAULT_HEAT_CONDUCTIVITY
+            )
+            dryk[cells] = rt.get(
+                "dry_conductivity", DEFAULT_HEAT_CONDUCTIVITY
+            )
+            poro[cells] = rt.get("porosity", DEFAULT_POROSITY)
+            dens[cells] = rt.get("density", DEFAULT_ROCK_DENSITY)
+            sph[cells] = rt.get("specific_heat", DEFAULT_SPECIFIC_HEAT)
+        # ghost cells inherit the attached interior cell's rock so
+        # harmonic face averages see interior properties
+        for b in mesh.boundaries:
+            for ghost, face in zip(b.cells, b.faces):
+                interior = mesh.face_cells[face, 0]
+                perm[ghost] = perm[interior]
+                wetk[ghost] = wetk[interior]
+                dryk[ghost] = dryk[interior]
+                poro[ghost] = poro[interior]
+                dens[ghost] = dens[interior]
+                sph[ghost] = sph[interior]
+        return RockState(
+            permeability=jnp.asarray(perm),
+            wet_conductivity=jnp.asarray(wetk),
+            dry_conductivity=jnp.asarray(dryk),
+            porosity=jnp.asarray(poro),
+            density=jnp.asarray(dens),
+            specific_heat=jnp.asarray(sph),
+        )
+
+    def _setup_initial(self, config, mesh: Mesh):
+        """Initial primary variables and regions (initial.F90, constant
+        or per-cell arrays), plus boundary values in ghost rows."""
+        npv = self.eos.num_primary_variables
+        n = mesh.num_cells
+        ic = config.get("initial", {}) or {}
+        primary = np.tile(self.eos.default_primary, (n, 1))
+        region = np.full(n, self.eos.default_region, dtype=np.int32)
+        if "primary" in ic:
+            p = np.asarray(ic["primary"], dtype=np.float64)
+            if p.ndim == 1:
+                primary[: mesh.num_interior_cells] = p
+            else:
+                primary[: mesh.num_interior_cells] = p
+        if "region" in ic:
+            r = np.asarray(ic["region"], dtype=np.int32)
+            region[: mesh.num_interior_cells] = r
+        # boundary ghost rows
+        for b in mesh.boundaries:
+            primary[b.cells] = b.primary
+            region[b.cells] = b.region
+        region_j = jnp.asarray(region, jnp.int32)
+        y = self.eos.scale(jnp.asarray(primary), region_j)
+        return y, region_j
+
+    # ------------------------------------------------------------------
+
+    def initial_fluid(self):
+        """fluid_init equivalent: full property evaluation at the
+        initial solution (flow_simulation.F90:2171)."""
+        fluid, err = self.eos.properties(
+            self.eos.unscale(self.y0, self.region0), self.region0, self.rock
+        )
+        return fluid, err
+
+    def make_step_fn(self, newton_params: NewtonParams, method: str = "beuler"):
+        """Build the jitted one-timestep-try function.
+
+        Traced arguments: y_last, region, temperature, lhs_last,
+        lhs_last2, t_last, dt, dt_last, first(bool as float mask).
+        """
+        system = self.system
+        eos = self.eos
+        rock = self.rock
+        sources = self.sources
+        mesh = self.mesh_dev
+        steady = method == "directss"
+        bdf2 = method == "bdf2"
+
+        @jax.jit
+        def step(y, region, temperature, lhs_last, lhs_last2, t_last, dt,
+                 dt_last, first):
+            if sources is not None:
+                rate, enthalpy = sources.rates_at(t_last, t_last + dt)
+            else:
+                rate = jnp.zeros(0)
+                enthalpy = jnp.zeros(0)
+            if steady:
+                coeffs = MethodCoeffs(
+                    c_lhs=jnp.asarray(0.0),
+                    dt_eff=jnp.asarray(-1.0),
+                    const=jnp.zeros_like(lhs_last),
+                )
+            elif bdf2:
+                r = dt / dt_last
+                use_be = first > 0.5
+                c_l = jnp.where(use_be, 1.0, 1.0 + 2.0 * r)
+                dt_eff = jnp.where(use_be, dt, dt * (r + 1.0))
+                const = jnp.where(
+                    use_be,
+                    -lhs_last,
+                    -((r + 1.0) ** 2) * lhs_last + (r * r) * lhs_last2,
+                )
+                coeffs = MethodCoeffs(c_lhs=c_l, dt_eff=dt_eff, const=const)
+            else:
+                coeffs = MethodCoeffs(
+                    c_lhs=jnp.asarray(1.0),
+                    dt_eff=dt,
+                    const=-lhs_last,
+                )
+            res = newton_solve(
+                system,
+                y,
+                region,
+                temperature,
+                rock,
+                coeffs,
+                rate,
+                enthalpy,
+                lhs_scale=lhs_last,
+                params=newton_params,
+            )
+            fluid, cond, err = system.derived_state(res.y, res.region, rock)
+            lhs_new = system.lhs(fluid, rock)
+            rhs_new, fluxes = system.rhs(fluid, cond, rock, rate, enthalpy)
+            return res, fluid, lhs_new, fluxes
+
+        return step
+
+    def lhs_at(self, y, region):
+        fluid, cond, err = self.system.derived_state(y, region, self.rock)
+        return self.system.lhs(fluid, self.rock), fluid, err

@@ -1,0 +1,501 @@
+"""Adaptive implicit timestepper.
+
+Host-level state machine reproducing timestepper.F90: backward Euler /
+BDF2 / direct steady state methods, fixed step-size sequences with
+fall-over to adaptive stepping, iteration/change step-size monitors,
+the retry ladder (dt x reduction on nonconvergence, up to max tries),
+checkpoints at exact output times, and stop criteria. Each timestep try
+is a single jitted device program (Newton + Krylov + transitions).
+"""
+
+from __future__ import annotations
+
+import time as _walltime
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from waiwera_tpu.solver.newton import NewtonParams
+from waiwera_tpu.utils.logging import Logger
+
+# timestep statuses (timestepper.F90:33-44)
+OK = "OK"
+NOT_CONVERGED = "not converged"
+TOO_SMALL = "increase"
+TOO_BIG = "reduce"
+ABORTED = "aborted"
+FINAL = "final"
+RESTORE = "restore"
+
+
+@dataclass
+class Checkpoints:
+    """Exact output times (timestepper_checkpoints_type,
+    timestepper.F90:95-113,863-968)."""
+
+    times: Optional[np.ndarray] = None
+    repeat: int = 1
+    tolerance: float = 0.1
+    start_time: float = 0.0
+    index: int = 0
+    repeat_index: int = 1
+    repeat_shift: float = 0.0
+    done: bool = True
+    hit: bool = False
+    next_time: float = 0.0
+    restore_stepsize: float = 0.0
+
+    def init(self):
+        if self.times is None or len(self.times) == 0:
+            self.done = True
+            return
+        self.done = False
+        self.tolerance = max(self.tolerance, 1e-6)
+        self.repeat_shift = self.times[-1]
+        if self.repeat_shift > self.start_time:
+            self.repeat_shift -= self.start_time
+        self.index = 0
+        self.repeat_index = 1
+        self.next_time = self.times[0]
+        while self.next_time < self.start_time and not self.done:
+            self.update()
+        self.hit = False
+
+    def check(self, t_end: float, dt: float):
+        if self.done:
+            self.hit = False
+        elif t_end + self.tolerance * dt >= self.next_time:
+            self.hit = True
+            self.restore_stepsize = dt
+        else:
+            self.hit = False
+
+    def update(self):
+        if not self.done:
+            self.index += 1
+            if self.index >= len(self.times):
+                if 0 < self.repeat <= self.repeat_index:
+                    self.done = True
+                else:
+                    self.repeat_index += 1
+                    self.index = 0
+            if not self.done:
+                self.next_time = (
+                    self.times[self.index]
+                    + (self.repeat_index - 1) * self.repeat_shift
+                )
+        self.hit = False
+
+
+class Timestepper:
+    def __init__(self, config: dict, sim, output=None, logger=None):
+        self.sim = sim
+        self.output = output
+        self.log = logger or Logger()
+        tcfg = (config.get("time") or {})
+        scfg = (tcfg.get("step") or {})
+
+        self.method = str(scfg.get("method", "beuler")).lower()
+        self.steady_state = self.method == "directss"
+
+        # stop criteria
+        self.stop_time = tcfg.get("stop", None)
+        self.start_time = float(tcfg.get("start", 0.0))
+        maximum = scfg.get("maximum", {}) or {}
+        self.max_steps = maximum.get("number", 100)
+        if self.max_steps is None:
+            self.max_steps = -1
+        self.max_stepsize = float(maximum.get("size", 0.0) or 0.0)
+        self.max_tries = int(maximum.get("tries", 10))
+        stop_cfg = (scfg.get("stop", {}) or {}).get("size", {}) or {}
+        self.stop_min_stepsize = stop_cfg.get("minimum", -1.0) or -1.0
+        self.stop_max_stepsize = stop_cfg.get("maximum", -1.0) or -1.0
+
+        # step sizes
+        size = scfg.get("size", 0.1)
+        if isinstance(size, (list, tuple, np.ndarray)):
+            self.sizes = [float(s) for s in size]
+        else:
+            self.sizes = [float(size)]
+
+        # adaptor (timestepper.F90:77-93)
+        acfg = scfg.get("adapt", {}) or {}
+        self.adapt_on_input = bool(acfg.get("on", False))
+        self.adapt_method = str(acfg.get("method", "iteration")).lower()
+        self.adapt_min = float(acfg.get("minimum", 5.0))
+        self.adapt_max = float(acfg.get("maximum", 8.0))
+        self.adapt_reduction = float(acfg.get("reduction", 0.2))
+        self.adapt_amplification = float(acfg.get("amplification", 2.0))
+
+        # nonlinear solver params
+        sol = (scfg.get("solver", {}) or {}).get("nonlinear", {}) or {}
+        tol = sol.get("tolerance", {}) or {}
+        ftol = tol.get("function", {}) or {}
+        utol = tol.get("update", {}) or {}
+        lin = (scfg.get("solver", {}) or {}).get("linear", {}) or {}
+        self.newton_params = NewtonParams(
+            max_iterations=int(
+                (sol.get("maximum", {}) or {}).get("iterations", 8)
+            ),
+            min_iterations=int(
+                (sol.get("minimum", {}) or {}).get("iterations", 0)
+            ),
+            function_rtol=float(ftol.get("relative", 1e-5)),
+            function_atol=float(ftol.get("absolute", 1.0)),
+            update_rtol=float(utol.get("relative", 1e-10)),
+            update_atol=float(utol.get("absolute", 1.0)),
+            linear_method=str(lin.get("type", "bcgs")).lower(),
+            linear_pc=str(
+                (lin.get("preconditioner", {}) or {}).get("type", "bjacobi")
+            ).lower(),
+        )
+
+        # output config
+        ocfg = config.get("output", {}) or {}
+        self.output_initial = bool(ocfg.get("initial", True))
+        self.output_final = bool(ocfg.get("final", True))
+        self.output_frequency = int(ocfg.get("frequency", 1))
+
+        # checkpoints
+        self.checkpoints = Checkpoints(start_time=self.start_time)
+        ccfg = ocfg.get("checkpoint")
+        if ccfg:
+            rep = ccfg.get("repeat", 1)
+            if isinstance(rep, bool):
+                rep = -1 if rep else 1
+            times = ccfg.get("time")
+            if times is None and "step" in ccfg:
+                steps = np.asarray(ccfg["step"], dtype=np.float64)
+                times = self.start_time + np.cumsum(steps)
+            self.checkpoints = Checkpoints(
+                times=np.asarray(times, dtype=np.float64),
+                repeat=int(rep),
+                tolerance=float(ccfg.get("tolerance", 0.1)),
+                start_time=self.start_time,
+            )
+        self.checkpoints.init()
+
+        if self.steady_state:
+            self.sizes = [0.0]
+            self.max_steps = 1
+            self.max_tries = 1
+            self.adapt_on_input = False
+
+        self.step_fn = sim.make_step_fn(self.newton_params, self.method)
+
+        # runtime state
+        self.taken = 0
+        self.output_index = 0
+
+    # ------------------------------------------------------------------
+
+    def _monitor(self, num_iterations, lhs_new, lhs_last):
+        """Adaptor monitor (timestepper.F90:277-310)."""
+        if self.adapt_method == "iteration":
+            return float(num_iterations)
+        eps = 1e-3
+        diff = np.abs(np.asarray(lhs_new) - np.asarray(lhs_last))
+        scale = np.maximum(np.abs(np.asarray(lhs_last)), eps)
+        return float(np.max(diff / scale))
+
+    def run(self, max_wall_seconds: Optional[float] = None):
+        sim = self.sim
+        log = self.log
+
+        # state: last accepted step
+        t = self.start_time
+        y = sim.y0
+        region = sim.region0
+        lhs, fluid, err = sim.lhs_at(y, region)
+        if bool(jnp.any(err & ~sim.mesh_dev.is_ghost)):
+            raise RuntimeError(
+                "initial fluid property evaluation failed (EOS out of "
+                "range in some cells)"
+            )
+        temperature = fluid.temperature
+        lhs_last2 = lhs
+        dt_last = self.sizes[0] if self.sizes[0] > 0 else 1.0
+
+        self.taken = 0
+        self.output_index = 0
+        since_output = 0
+        log.write("info", "timestepper", "start", time=t)
+        wall0 = _walltime.time()
+
+        if self.output_initial and self.output is not None:
+            self.output.write(self.output_index, t, fluid,
+                              self._source_output(fluid, t, dt_last))
+            self.output_index += 1
+
+        # fixed-size sequence state (timestepper.F90:1381-1453)
+        fixed_index = 0
+        adaptor_on = False
+        fixed = not self.adapt_on_input
+        next_stepsize = self.sizes[0]
+        finished = False
+
+        aborted = False
+        while not finished:
+            # one timestep with retry ladder (timestepper_step :2316)
+            accepted = False
+            num_tries = 0
+            status = OK
+            while not (accepted or finished):
+                dt = next_stepsize
+                t_try = t + dt
+                hit_this_try = False
+
+                # checkpoints (:1282-1301)
+                if not self.steady_state:
+                    self.checkpoints.check(t_try, dt)
+                    if self.checkpoints.hit:
+                        dt = self.checkpoints.next_time - t
+                        t_try = self.checkpoints.next_time
+                        hit_this_try = True
+
+                # check_finished (:1233-1274)
+                if self.steady_state:
+                    finished = self.taken == 1
+                else:
+                    if (
+                        self.stop_time is not None
+                        and t_try + 1e-10 * max(dt, 1e-300) * dt >= self.stop_time
+                    ) or (
+                        self.stop_time is not None
+                        and t_try + self._termination_tol() * dt > self.stop_time
+                    ):
+                        dt = self.stop_time - t
+                        t_try = self.stop_time
+                        finished = True
+                    elif (
+                        self.stop_min_stepsize > 0
+                        and dt <= self.stop_min_stepsize
+                    ):
+                        finished = True
+                    elif (
+                        self.stop_max_stepsize > 0
+                        and dt >= self.stop_max_stepsize
+                    ):
+                        finished = True
+                    if 0 <= self.max_steps <= self.taken + 1:
+                        finished = True
+
+                res, new_fluid, lhs_new, fluxes = self.step_fn(
+                    y,
+                    region,
+                    temperature,
+                    lhs,
+                    lhs_last2,
+                    jnp.asarray(t),
+                    jnp.asarray(dt),
+                    jnp.asarray(dt_last),
+                    jnp.asarray(1.0 if self.taken == 0 else 0.0),
+                )
+                num_tries += 1
+                converged = bool(res.converged) and not bool(res.failed)
+                its = int(res.iterations)
+                log.write(
+                    "info" if converged else "warn",
+                    "nonlinear_solver",
+                    "end",
+                    converged=converged,
+                    iterations=its,
+                    linear_iterations=int(res.linear_iterations),
+                    max_residual=float(res.max_residual),
+                )
+
+                # set_current_status (:1305-1376)
+                if self.steady_state:
+                    status = FINAL if converged else ABORTED
+                    finished = True
+                    accepted = converged
+                    if not converged:
+                        aborted = True
+                    break
+                if converged:
+                    if finished and status != ABORTED:
+                        status = FINAL
+                    elif hit_this_try:
+                        status = RESTORE
+                    else:
+                        eta = self._monitor(its, lhs_new, lhs)
+                        adapt_active = adaptor_on or (
+                            fixed_index == len(self.sizes) - 1 and not fixed
+                        )
+                        if adapt_active:
+                            if eta < self.adapt_min:
+                                status = TOO_SMALL
+                            elif eta > self.adapt_max:
+                                status = TOO_BIG
+                            else:
+                                status = OK
+                        else:
+                            status = OK
+                else:
+                    if num_tries >= self.max_tries:
+                        status = ABORTED
+                        finished = True
+                        aborted = True
+                    else:
+                        status = NOT_CONVERGED
+                        finished = False
+                    self.checkpoints.hit = False
+
+                # set_next_stepsize (:1414-1453)
+                if not self.steady_state and status != ABORTED:
+                    accepted, next_stepsize, adaptor_on, fixed_index = (
+                        self._next_stepsize(
+                            status, dt, adaptor_on, fixed, fixed_index,
+                            hit_this_try,
+                        )
+                    )
+                elif status == ABORTED:
+                    accepted = False
+                if not accepted and status in (
+                    NOT_CONVERGED,
+                    TOO_BIG,
+                ):
+                    log.write(
+                        "warn",
+                        "timestep",
+                        "reduction",
+                        new_size=next_stepsize,
+                    )
+                if status == ABORTED:
+                    log.write("warn", "timestep", "aborted",
+                              num_tries=num_tries)
+                    break
+
+            if aborted and not accepted:
+                break
+
+            # commit step (timestepper_step :2365-2376)
+            if accepted:
+                self.taken += 1
+                dt_last = float(t_try - t)
+                t = float(t_try)
+                y = res.y
+                region = res.region
+                lhs_last2 = lhs
+                lhs = lhs_new
+                fluid = new_fluid
+                temperature = new_fluid.temperature
+                since_output += 1
+                log.write(
+                    "info",
+                    "timestep",
+                    "end",
+                    tries=num_tries,
+                    size=dt_last,
+                    time=t,
+                    status=status,
+                )
+                if self.output is not None and (
+                    self.checkpoints.hit
+                    or since_output == self.output_frequency
+                ):
+                    self.output.write(
+                        self.output_index, t, fluid,
+                        self._source_output(fluid, t - dt_last, dt_last))
+                    self.output_index += 1
+                    if self.checkpoints.hit:
+                        self.checkpoints.update()
+                    if since_output == self.output_frequency:
+                        since_output = 0
+                if status == FINAL:
+                    finished = True
+
+            if max_wall_seconds is not None and (
+                _walltime.time() - wall0 > max_wall_seconds
+            ):
+                log.write("warn", "timestepper", "wall_time_limit")
+                break
+
+        if (
+            self.output is not None
+            and self.output_final
+            and since_output > 0
+        ):
+            self.output.write(self.output_index, t, fluid,
+                              self._source_output(fluid, t, dt_last))
+            self.output_index += 1
+        log.write(
+            "info",
+            "timestepper",
+            "end",
+            time=t,
+            steps=self.taken,
+            elapsed_seconds=_walltime.time() - wall0,
+        )
+        self.final_time = t
+        self.final_y = y
+        self.final_region = region
+        self.final_fluid = fluid
+        self.aborted = aborted
+        return not aborted
+
+    def _termination_tol(self):
+        return 1e-10
+
+    def _next_stepsize(self, status, dt, adaptor_on, fixed, fixed_index,
+                       checkpoint_hit):
+        """set_next_stepsize + get_next_fixed_stepsize + adapt
+        (timestepper.F90:1381-1475)."""
+
+        def adapt(status, dt):
+            if status == TOO_SMALL:
+                ns = dt * self.adapt_amplification
+                if self.max_stepsize > 0:
+                    ns = min(ns, self.max_stepsize)
+                return True, ns
+            if status in (TOO_BIG, NOT_CONVERGED):
+                return False, dt * self.adapt_reduction
+            return True, dt
+
+        if adaptor_on:
+            if checkpoint_hit and status == RESTORE:
+                accepted = True
+                next_stepsize = self.checkpoints.restore_stepsize
+            else:
+                accepted, next_stepsize = adapt(status, dt)
+            # switch back to fixed stepping if we reach the fixed sizes
+            if fixed_index < len(self.sizes) - 1 or (
+                fixed_index >= len(self.sizes) - 1 and fixed
+            ):
+                if next_stepsize >= self.sizes[fixed_index]:
+                    adaptor_on = False
+                    next_stepsize = self.sizes[fixed_index]
+            return accepted, next_stepsize, adaptor_on, fixed_index
+
+        if status in (TOO_BIG, NOT_CONVERGED):
+            adaptor_on = True
+            accepted, next_stepsize = adapt(status, dt)
+            return accepted, next_stepsize, adaptor_on, fixed_index
+
+        # fixed stepping: advance through the size list
+        accepted = True
+        fixed_index += 1
+        if fixed_index < len(self.sizes):
+            next_stepsize = self.sizes[fixed_index]
+        else:
+            fixed_index = len(self.sizes) - 1
+            if fixed:
+                next_stepsize = self.sizes[fixed_index]
+            else:
+                adaptor_on = True
+                if checkpoint_hit and status == RESTORE:
+                    next_stepsize = self.checkpoints.restore_stepsize
+                else:
+                    accepted, next_stepsize = adapt(status, dt)
+        return accepted, next_stepsize, adaptor_on, fixed_index
+
+    def _source_output(self, fluid, t0, dt):
+        if self.sim.sources is None:
+            return None
+        rate, enthalpy = self.sim.sources.rates_at(t0, t0 + dt)
+        return {
+            "rate": np.asarray(rate),
+            "enthalpy": np.asarray(enthalpy),
+        }

@@ -1,0 +1,208 @@
+"""SNES-equivalent Newton solver with phase transitions.
+
+Reproduces the reference's nonlinear solve semantics:
+- residual convergence: max_i |r_i| / max(|L_last_i|, f_atol) < f_rtol
+  (SNES_convergence, timestepper.F90:1898-1951 via
+  vec_max_pointwise_abs_scale, dm_utils.F90:644)
+- update convergence: max_i |dy_i| / max(|y_i|, u_atol) <= u_rtol
+- minimum-iterations gate; divergence on max iterations or fnorm blowup
+- full-step "shell" line search whose post-check applies per-cell
+  thermodynamic region transitions, rewriting primaries and regions
+  (SNES_linesearch timestepper.F90:673-735 ->
+  flow_simulation_fluid_transitions :2419-2576)
+- domain errors (EOS out of range, transition failure, primary bounds)
+  abort the solve so the timestep can be retried with a smaller dt
+
+The whole solve is one jitted lax.while_loop: Jacobian assembly, Krylov
+solve, transitions and convergence checks all stay on device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from waiwera_tpu.solver import krylov, precond
+from waiwera_tpu.solver.system import MethodCoeffs, System
+
+Array = jnp.ndarray
+
+
+class NewtonParams(NamedTuple):
+    """Defaults follow timestepper.F90:1567,1998-2002."""
+
+    max_iterations: int = 8
+    min_iterations: int = 0
+    function_rtol: float = 1e-5
+    function_atol: float = 1.0
+    update_rtol: float = 1e-10
+    update_atol: float = 1.0
+    divergence_tol: float = 1e8  # SNES dtol
+    linear_method: str = "bcgs"
+    linear_pc: str = "bjacobi"
+    linear_rtol: float = 1e-5
+    linear_max_iterations: int = 1000
+    pc_sweeps: int = 3
+
+
+class NewtonResult(NamedTuple):
+    y: Array  # [N, npv] solution (scaled primaries)
+    region: Array  # [N] final thermodynamic regions
+    iterations: Array  # int32
+    converged: Array  # bool
+    failed: Array  # bool: domain / linear-solver failure
+    max_residual: Array  # last scaled residual norm
+    linear_iterations: Array  # int32 total
+
+
+def _max_scaled(v: Array, scale: Array, tol: float):
+    """max |v| / max(|scale|, tol) (vec_max_pointwise_abs_scale)."""
+    s = jnp.maximum(jnp.abs(scale), tol)
+    return jnp.max(jnp.abs(v) / s)
+
+
+def newton_solve(
+    system: System,
+    y0: Array,
+    region0: Array,
+    temperature0: Array,
+    rock,
+    coeffs: MethodCoeffs,
+    rate: Array,
+    enthalpy: Array,
+    lhs_scale: Array,
+    params: NewtonParams = NewtonParams(),
+) -> NewtonResult:
+    """Solve r(y) = 0 from initial guess y0.
+
+    lhs_scale: the LHS at the last accepted step (steps%last%lhs) used
+    to scale the residual norm. temperature0: fluid temperature at y0
+    (for transition fallbacks).
+    """
+    eos = system.eos
+    interior = ~system.mesh.is_ghost
+
+    def any_err(e):
+        return jnp.any(e & interior)
+
+    r0, L0, _, err0 = system.residual(
+        y0, region0, rock, coeffs, rate, enthalpy
+    )
+    fnorm0 = jnp.linalg.norm(r0)
+    maxres0 = _max_scaled(r0, lhs_scale, params.function_atol)
+
+    class _State(NamedTuple):
+        y: Array
+        region: Array
+        temperature: Array
+        r: Array
+        it: Array
+        converged: Array
+        failed: Array
+        max_residual: Array
+        linear_its: Array
+
+    conv0 = (params.min_iterations <= 0) & (
+        maxres0 < params.function_rtol
+    )
+    state = _State(
+        y=y0,
+        region=region0,
+        temperature=temperature0,
+        r=r0,
+        it=jnp.int32(0),
+        converged=conv0,
+        failed=any_err(err0) | ~jnp.isfinite(fnorm0),
+        max_residual=maxres0,
+        linear_its=jnp.int32(0),
+    )
+
+    def cond(s: _State):
+        return (
+            (~s.converged)
+            & (~s.failed)
+            & (s.it < params.max_iterations)
+        )
+
+    def body(s: _State):
+        # Jacobian at current iterate
+        r, L, _, err, mat = system.residual_and_jacobian(
+            s.y, s.region, rock, coeffs, rate, enthalpy
+        )
+        pc = precond.make_preconditioner(
+            params.linear_pc, mat, sweeps=params.pc_sweeps
+        )
+        lin = krylov.solve(
+            params.linear_method,
+            mat.matvec,
+            r,
+            precond=pc,
+            rtol=params.linear_rtol,
+            max_iterations=params.linear_max_iterations,
+        )
+        dy = lin.x
+        y_raw = s.y - dy
+
+        # post-linesearch: transitions + primary bounds
+        old_primary = eos.unscale(s.y, s.region)
+        primary_raw = eos.unscale(y_raw, s.region)
+        new_primary, new_region, _, terr = eos.transition(
+            old_primary, primary_raw, s.region, s.temperature
+        )
+        bounds_err = eos.check_primary_variables(new_primary, new_region)
+        y_new = eos.scale(new_primary, new_region)
+        # ghost rows never move
+        y_new = jnp.where(interior[:, None], y_new, s.y)
+        new_region = jnp.where(interior, new_region, s.region)
+
+        # residual at the updated iterate (custom linesearch recompute)
+        fluid, cond_, perr = system.derived_state(y_new, new_region, rock)
+        L_new = system.lhs(fluid, rock)
+        R_new, _ = system.rhs(fluid, cond_, rock, rate, enthalpy)
+        r_new = coeffs.c_lhs * L_new + coeffs.const - coeffs.dt_eff * R_new
+        r_new = jnp.where(interior[:, None], r_new, 0.0)
+
+        it = s.it + 1
+        maxres = _max_scaled(r_new, lhs_scale, params.function_atol)
+        maxupd = _max_scaled(s.y - y_new, y_new, params.update_atol)
+        fnorm = jnp.linalg.norm(r_new)
+
+        failed = (
+            s.failed
+            | any_err(err)
+            | any_err(terr)
+            | any_err(bounds_err)
+            | any_err(perr)
+            | ~lin.converged
+            | ~jnp.isfinite(fnorm)
+            | (fnorm > params.divergence_tol * jnp.maximum(fnorm0, 1e-300))
+        )
+        converged = (it >= params.min_iterations) & (
+            (maxres < params.function_rtol)
+            | (maxupd <= params.update_rtol)
+        )
+        return _State(
+            y=y_new,
+            region=new_region,
+            temperature=fluid.temperature,
+            r=r_new,
+            it=it,
+            converged=converged & ~failed,
+            failed=failed,
+            max_residual=maxres,
+            linear_its=s.linear_its + lin.iterations,
+        )
+
+    final = lax.while_loop(cond, body, state)
+    return NewtonResult(
+        y=final.y,
+        region=final.region,
+        iterations=final.it,
+        converged=final.converged,
+        failed=final.failed,
+        max_residual=final.max_residual,
+        linear_iterations=final.linear_its,
+    )

@@ -1,0 +1,290 @@
+"""The nonlinear system: residual and AD block Jacobian.
+
+Replaces the reference's FD-coloring machinery
+(timestepper.F90:1584-1607, flow_simulation.F90 pre_eval/update_cell
+caching) with an exact forward-mode block Jacobian: because balances and
+sources are cell-local and fluxes are face-local in the gathered pair
+representation, npv JVP passes over the cell chain plus 2*npv over the
+flux chain yield all BSR blocks directly. Regions are frozen during
+differentiation, matching the reference's FD-at-frozen-region behaviour
+(doc/dev/code/index.md:37-39).
+
+Residual (timestepper.F90:345-452), generalised over methods:
+    r = c_L * L(y) + const - dt_eff * R(y)
+with backward Euler: c_L = 1, dt_eff = dt, const = -L_old;
+BDF2:  c_L = 1+2r, dt_eff = dt (r+1),
+       const = -(r+1)^2 L_old + r^2 L_old2;
+direct steady state: c_L = 0, dt_eff = -1, const = 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from waiwera_tpu.mesh.device import MeshArrays
+from waiwera_tpu.physics import assembly
+from waiwera_tpu.physics.state import FluidState, RockState
+from waiwera_tpu.sim.sources import SourceArrays, source_inflows
+from waiwera_tpu.solver import bsr
+
+Array = jnp.ndarray
+
+
+class MethodCoeffs(NamedTuple):
+    c_lhs: Array  # scalar
+    dt_eff: Array  # scalar
+    const: Array  # [N, npv]
+
+
+class System:
+    """Couples an EOS, mesh and sources into residual/Jacobian
+    evaluations on dense arrays."""
+
+    def __init__(self, eos, mesh: MeshArrays, sources: Optional[SourceArrays]):
+        self.eos = eos
+        self.mesh = mesh
+        self.sources = sources
+        self.npv = eos.num_primary_variables
+        self.isothermal = eos.isothermal
+        face_cells = np.asarray(mesh.face_cells)
+        self.structure = bsr.build_structure(
+            mesh.num_cells, face_cells, self.npv
+        )
+        pos_lr, pos_rl = bsr.face_block_positions(self.structure, face_cells)
+        self.pos_lr = jnp.asarray(pos_lr, jnp.int32)
+        self.pos_rl = jnp.asarray(pos_rl, jnp.int32)
+
+    # -- state chains -------------------------------------------------
+
+    def derived_state(self, y: Array, region: Array, rock: RockState):
+        """Scaled primaries -> (fluid, conductivity, err)."""
+        primary = self.eos.unscale(y, region)
+        fluid, err = self.eos.properties(primary, region, rock)
+        cond = (
+            None
+            if self.isothermal
+            else self.eos.conductivity(rock, fluid)
+        )
+        return fluid, cond, err
+
+    def lhs(self, fluid: FluidState, rock: RockState) -> Array:
+        """Cell balances, zero in ghost cells."""
+        L = assembly.cell_balances(fluid, rock, self.npv)
+        return jnp.where(self.mesh.is_ghost[:, None], 0.0, L)
+
+    def source_term(self, fluid, rate, enthalpy) -> Array:
+        if self.sources is None or self.sources.cell.shape[0] == 0:
+            return jnp.zeros((self.mesh.num_cells, self.npv))
+        return source_inflows(
+            fluid,
+            self.sources,
+            rate,
+            enthalpy,
+            self.npv,
+            self.eos.num_components,
+            self.mesh.num_cells,
+            self.isothermal,
+        )
+
+    def fluxes(self, fluid, cond, rock) -> Array:
+        return assembly.face_fluxes(
+            fluid,
+            rock,
+            cond,
+            self.mesh,
+            self.npv,
+            self.eos.num_mobile_phases,
+            self.isothermal,
+        )
+
+    def rhs(self, fluid, cond, rock, rate, enthalpy):
+        """Net cell inflows (per unit volume) = flux divergence +
+        sources. Returns (rhs [N, npv], fluxes [F, nf])."""
+        fluxes = self.fluxes(fluid, cond, rock)
+        inflow = assembly.cell_inflows(fluxes, self.mesh, self.npv)
+        inflow = inflow + self.source_term(fluid, rate, enthalpy)
+        return jnp.where(self.mesh.is_ghost[:, None], 0.0, inflow), fluxes
+
+    # -- residual -----------------------------------------------------
+
+    def residual(
+        self,
+        y: Array,
+        region: Array,
+        rock: RockState,
+        coeffs: MethodCoeffs,
+        rate: Array,
+        enthalpy: Array,
+    ):
+        """Returns (residual [N, npv], lhs [N, npv], fluxes, err[N])."""
+        fluid, cond, err = self.derived_state(y, region, rock)
+        L = self.lhs(fluid, rock)
+        R, fluxes = self.rhs(fluid, cond, rock, rate, enthalpy)
+        r = coeffs.c_lhs * L + coeffs.const - coeffs.dt_eff * R
+        r = jnp.where(self.mesh.is_ghost[:, None], 0.0, r)
+        return r, L, fluxes, err
+
+    # -- residual + block Jacobian -------------------------------------
+
+    def residual_and_jacobian(
+        self,
+        y: Array,
+        region: Array,
+        rock: RockState,
+        coeffs: MethodCoeffs,
+        rate: Array,
+        enthalpy: Array,
+    ):
+        """Returns (residual, lhs, fluxes, err, BSRMatrix)."""
+        mesh = self.mesh
+        npv = self.npv
+        n = mesh.num_cells
+        cl = mesh.face_cells[:, 0]
+        cr = mesh.face_cells[:, 1]
+
+        def derived_flat(yv):
+            fluid, cond, _ = self.derived_state(yv, region, rock)
+            if cond is None:
+                cond = jnp.zeros(n)
+            return fluid, cond
+
+        # primal + npv cell-local tangents of the derived state
+        fluid, cond0 = derived_flat(y)
+        _, _, err = self.derived_state(y, region, rock)
+        d_fluid = []
+        d_cond = []
+        for v in range(npv):
+            seed = jnp.zeros_like(y).at[:, v].set(1.0)
+            _, (df, dc) = jax.jvp(derived_flat, (y,), (seed,))
+            d_fluid.append(df)
+            d_cond.append(dc)
+        cond = None if self.isothermal else cond0
+
+        # cell-local terms: L and sources
+        def cell_fn(f):
+            L = self.lhs(f, rock)
+            q = self.source_term(f, rate, enthalpy)
+            return L, q
+
+        (L, q) = cell_fn(fluid)
+        dL = []
+        dq = []
+        for v in range(npv):
+            _, (dLv, dqv) = jax.jvp(cell_fn, (fluid,), (d_fluid[v],))
+            dL.append(dLv)
+            dq.append(dqv)
+
+        # face fluxes and their side Jacobians
+        perm_l, perm_r = assembly.face_permeability_sides(rock, mesh)
+        fl = assembly.gather_state(fluid, cl)
+        fr = assembly.gather_state(fluid, cr)
+        cdl = cond0[cl]
+        cdr = cond0[cr]
+
+        def flux_fn(f_l, f_r, c_l, c_r):
+            return assembly.face_fluxes_pairs(
+                f_l,
+                f_r,
+                perm_l,
+                perm_r,
+                None if self.isothermal else c_l,
+                None if self.isothermal else c_r,
+                mesh,
+                npv,
+                self.eos.num_mobile_phases,
+                self.isothermal,
+            )
+
+        fluxes = flux_fn(fl, fr, cdl, cdr)
+
+        def _zero_tangent(a):
+            # integer leaves (region, phase_composition) take float0
+            # tangents under jvp
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return jnp.zeros_like(a)
+            return np.zeros(a.shape, jax.dtypes.float0)
+
+        zf = jax.tree_util.tree_map(_zero_tangent, fl)
+        zc = jnp.zeros_like(cdl)
+        dflux_l = []
+        dflux_r = []
+        for v in range(npv):
+            dfl = assembly.gather_state(d_fluid[v], cl)
+            _, t = jax.jvp(
+                flux_fn, (fl, fr, cdl, cdr), (dfl, zf, d_cond[v][cl], zc)
+            )
+            dflux_l.append(t[:, :npv])
+            dfr = assembly.gather_state(d_fluid[v], cr)
+            _, t = jax.jvp(
+                flux_fn, (fl, fr, cdl, cdr), (zf, dfr, zc, d_cond[v][cr])
+            )
+            dflux_r.append(t[:, :npv])
+
+        # residual
+        inflow = assembly.cell_inflows(fluxes, mesh, npv)
+        R = inflow + q
+        R = jnp.where(mesh.is_ghost[:, None], 0.0, R)
+        r = coeffs.c_lhs * L + coeffs.const - coeffs.dt_eff * R
+        r = jnp.where(mesh.is_ghost[:, None], 0.0, r)
+
+        # -- assemble blocks: J[i,j][e,v] = dr_i[e]/dy_j[v] ------------
+        # diagonal: cL dL - dt_eff dq + face self-terms
+        diag = jnp.stack(
+            [
+                coeffs.c_lhs * dL[v] - coeffs.dt_eff * dq[v]
+                for v in range(npv)
+            ],
+            axis=-1,
+        )  # [N, npv(out), npv(in)]
+
+        area = mesh.face_area
+        vol = jnp.where(mesh.cell_volume > 0.0, mesh.cell_volume, 1.0)
+        ghost_l = mesh.is_ghost[cl]
+        ghost_r = mesh.is_ghost[cr]
+
+        dflux_l = jnp.stack(dflux_l, axis=-1)  # [F, npv, npv]
+        dflux_r = jnp.stack(dflux_r, axis=-1)
+
+        av_l = (area / vol[cl])[:, None, None]
+        av_r = (area / vol[cr])[:, None, None]
+
+        # diag scatter: row l gets +dt_eff * a/v_l * dflux_l;
+        #               row r gets -dt_eff * a/v_r * dflux_r
+        diag = diag.at[cl].add(
+            jnp.where(
+                ghost_l[:, None, None],
+                0.0,
+                coeffs.dt_eff * av_l * dflux_l,
+            )
+        )
+        diag = diag.at[cr].add(
+            jnp.where(
+                ghost_r[:, None, None],
+                0.0,
+                -coeffs.dt_eff * av_r * dflux_r,
+            )
+        )
+        # ghost rows: identity
+        eye = jnp.eye(npv)
+        diag = jnp.where(mesh.is_ghost[:, None, None], eye, diag)
+
+        # off-diagonal blocks (zero if either end is ghost: ghost dofs
+        # are fully decoupled)
+        either_ghost = (ghost_l | ghost_r)[:, None, None]
+        block_lr = jnp.where(
+            either_ghost, 0.0, coeffs.dt_eff * av_l * dflux_r
+        )
+        block_rl = jnp.where(
+            either_ghost, 0.0, -coeffs.dt_eff * av_r * dflux_l
+        )
+
+        mat = bsr.assemble(
+            self.structure, diag, block_lr, block_rl, self.pos_lr,
+            self.pos_rl,
+        )
+        return r, L, fluxes, err, mat
