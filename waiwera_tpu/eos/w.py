@@ -53,7 +53,11 @@ class EOSWater(EOS):
         density = jnp.where(steam, dv, dl)
         energy = jnp.where(steam, uv, ul)
         err = jnp.where(steam, ev, el)
-        visc = self.thermo.viscosity(t, density)
+        visc = jnp.where(
+            steam,
+            self.thermo.phase_viscosity(1, t, p, density),
+            self.thermo.phase_viscosity(0, t, p, density),
+        )
         enthalpy = energy + p / jnp.where(density > 0, density, 1.0)
 
         ones = jnp.ones_like(p)

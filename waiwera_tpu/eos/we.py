@@ -100,7 +100,10 @@ class EOSWaterEnergy(EOS):
         energy = jnp.stack([ul, uv], axis=-1)
         enthalpy = energy + p[:, None] / jnp.where(density > 0, density, 1.0)
         visc = jnp.stack(
-            [self.thermo.viscosity(t, dl), self.thermo.viscosity(t, dv)],
+            [
+                self.thermo.phase_viscosity(0, t, p, dl),
+                self.thermo.phase_viscosity(1, t, p, dv),
+            ],
             axis=-1,
         )
         prop_err = jnp.stack([el, ev], axis=-1)

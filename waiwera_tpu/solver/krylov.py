@@ -152,9 +152,11 @@ def gmres(
 
         V, H, _ = lax.fori_loop(0, m, body, (V, H, False))
 
-        # solve least squares min ||beta e1 - H y||
-        e1 = jnp.zeros(m + 1).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, e1, rcond=None)
+        # solve least squares min ||beta e1 - H y|| by Givens rotations
+        # (no LAPACK custom calls: TPU has no f64 QR/SVD)
+        from waiwera_tpu.solver.smallblocks import hessenberg_lstsq
+
+        y = hessenberg_lstsq(H, beta, m)
         dx = V[:m].T @ y  # [n]
         x_new = x + precond(unflat(dx))
         return x_new

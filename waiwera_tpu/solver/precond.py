@@ -19,13 +19,14 @@ import jax.numpy as jnp
 from jax import lax
 
 from waiwera_tpu.solver.bsr import BSRMatrix, BSRStructure
+from waiwera_tpu.solver.smallblocks import invert_blocks
 
 Array = jnp.ndarray
 
 
 def block_jacobi(matrix: BSRMatrix) -> Callable[[Array], Array]:
     """z = D^{-1} r with D the cell-diagonal blocks."""
-    inv = jnp.linalg.inv(matrix.diag_blocks())  # [N, b, b]
+    inv = invert_blocks(matrix.diag_blocks())  # [N, b, b]
 
     def apply(r: Array) -> Array:
         return jnp.einsum("nij,nj->ni", inv, r)
@@ -83,7 +84,7 @@ def dilu(matrix: BSRMatrix, split: ILU0Data, sweeps: int = 3):
 
     # DILU modified diagonal (one pass; exact for lower-triangular
     # orderings of depth 1, approximate otherwise)
-    inv0 = jnp.linalg.inv(diag)
+    inv0 = invert_blocks(diag)
     # contribution sum_{j<i} A_ij inv(D_j) A_ji: pair lower (i,j) with
     # upper (j,i) — positions correspond via transposed sparsity.
     # Approximate using inv of the unmodified diagonal.
@@ -94,7 +95,7 @@ def dilu(matrix: BSRMatrix, split: ILU0Data, sweeps: int = 3):
         _transpose_blocks(matrix, split),
     )
     dmod = diag.at[split.lower_rows].add(-corr)
-    dinv = jnp.linalg.inv(dmod)
+    dinv = invert_blocks(dmod)
 
     def apply(r: Array) -> Array:
         # forward: (D~ + L) y = r  via fixed-point y = D~^{-1}(r - L y)

@@ -1,0 +1,107 @@
+"""Batched small-block (1x1..4x4) linear algebra in pure jnp.
+
+TPU XLA has no f64 LU/QR/SVD custom calls, and the Jacobian blocks are
+tiny (block size = number of primary variables, 1..4), so closed-form
+adjugate inverses are both necessary and faster than library calls.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def invert_blocks(a: Array) -> Array:
+    """Inverse of a batch of small square matrices [..., b, b],
+    b in 1..4, via adjugate / determinant."""
+    b = a.shape[-1]
+    if b == 1:
+        return 1.0 / a
+    if b == 2:
+        a00 = a[..., 0, 0]
+        a01 = a[..., 0, 1]
+        a10 = a[..., 1, 0]
+        a11 = a[..., 1, 1]
+        det = a00 * a11 - a01 * a10
+        inv_det = 1.0 / det
+        return jnp.stack(
+            [
+                jnp.stack([a11, -a01], axis=-1),
+                jnp.stack([-a10, a00], axis=-1),
+            ],
+            axis=-2,
+        ) * inv_det[..., None, None]
+    if b == 3:
+        m = a
+        c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+        c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+        c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+        c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+        c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+        c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+        c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+        c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+        c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+        det = (
+            m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02
+        )
+        inv_det = 1.0 / det
+        adj = jnp.stack(
+            [
+                jnp.stack([c00, c10, c20], axis=-1),
+                jnp.stack([c01, c11, c21], axis=-1),
+                jnp.stack([c02, c12, c22], axis=-1),
+            ],
+            axis=-2,
+        )
+        return adj * inv_det[..., None, None]
+    if b == 4:
+        # blockwise 2x2 inversion via Schur complement:
+        # [[A, B], [C, D]]^-1 with S = D - C A^-1 B
+        A = a[..., :2, :2]
+        B = a[..., :2, 2:]
+        C = a[..., 2:, :2]
+        D = a[..., 2:, 2:]
+        Ainv = invert_blocks(A)
+        CAinv = C @ Ainv
+        S = D - CAinv @ B
+        Sinv = invert_blocks(S)
+        AinvB = Ainv @ B
+        top_left = Ainv + AinvB @ Sinv @ CAinv
+        top_right = -AinvB @ Sinv
+        bot_left = -Sinv @ CAinv
+        bot_right = Sinv
+        top = jnp.concatenate([top_left, top_right], axis=-1)
+        bot = jnp.concatenate([bot_left, bot_right], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+    raise NotImplementedError(f"block size {b} > 4")
+
+
+def hessenberg_lstsq(H: Array, beta: Array, m: int) -> Array:
+    """Solve min ||beta e1 - H y|| for upper-Hessenberg H [m+1, m]
+    by Givens rotations (GMRES least squares), pure jnp."""
+    g = jnp.zeros(m + 1).at[0].set(beta)
+    R = H
+    for j in range(m):
+        a = R[j, j]
+        b = R[j + 1, j]
+        r = jnp.sqrt(a * a + b * b)
+        r_safe = jnp.where(r > 1e-300, r, 1.0)
+        c = jnp.where(r > 1e-300, a / r_safe, 1.0)
+        s = jnp.where(r > 1e-300, b / r_safe, 0.0)
+        row_j = c * R[j] + s * R[j + 1]
+        row_j1 = -s * R[j] + c * R[j + 1]
+        R = R.at[j].set(row_j).at[j + 1].set(row_j1)
+        gj = c * g[j] + s * g[j + 1]
+        gj1 = -s * g[j] + c * g[j + 1]
+        g = g.at[j].set(gj).at[j + 1].set(gj1)
+    # back substitution on R[:m, :m] (upper triangular)
+    y = jnp.zeros(m)
+    for j in range(m - 1, -1, -1):
+        rhs = g[j] - jnp.dot(R[j, j + 1 :], y[j + 1 :]) if j + 1 < m else g[j]
+        diag = R[j, j]
+        y = y.at[j].set(
+            jnp.where(jnp.abs(diag) > 1e-300, rhs / jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0), 0.0)
+        )
+    return y

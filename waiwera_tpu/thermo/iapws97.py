@@ -399,6 +399,12 @@ class IAPWS97(Thermodynamics):
         return viscosity(t, density)
 
     @staticmethod
+    def phase_viscosity(phase_index, t, p, density):
+        """IAPWS-2008 viscosity for any phase (pressure unused)."""
+        del phase_index, p
+        return viscosity(t, density)
+
+    @staticmethod
     def boundary23_pressure(t):
         return boundary23_pressure(t)
 
