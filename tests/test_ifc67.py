@@ -48,8 +48,9 @@ def test_region2():
 def test_saturation():
     t = np.array([300.0, 500.0, 600.0]) - TC_K
     p = np.array([0.35323426e4, 0.263961572e7, 0.123493902e8])
+    # golden values rounded to ~8 significant digits
     ps, err = ifc67.saturation_pressure(t)
-    np.testing.assert_allclose(np.asarray(ps), p, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(ps), p, rtol=3e-8)
     assert not np.any(np.asarray(err))
     # golden pressures are rounded to 9 digits, so the exact inverse
     # differs from t at the 1e-7 K level

@@ -1,0 +1,93 @@
+"""Command-line driver.
+
+Counterpart of waiwera.F90: reads a JSON model file, builds the
+simulation, runs the timestepper, writes HDF5 output and a YAML log.
+
+Usage: python -m waiwera_tpu.cli model.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def run_json(filename: str, echo_log: bool = False, platform=None):
+    """Load a JSON model file and run it. Returns the Timestepper."""
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_enable_x64", True)
+
+    from waiwera_tpu.sim.simulation import Simulation
+    from waiwera_tpu.sim.timestepper import Timestepper
+    from waiwera_tpu.sim.output import HDF5Output
+    from waiwera_tpu.utils.logging import Logger
+
+    base = os.path.dirname(os.path.abspath(filename))
+    with open(filename) as f:
+        config = json.load(f)
+
+    # mesh filenames are relative to the JSON file
+    mesh_cfg = config.get("mesh")
+    if isinstance(mesh_cfg, str):
+        config["mesh"] = os.path.join(base, mesh_cfg)
+    elif isinstance(mesh_cfg, dict) and "filename" in mesh_cfg:
+        mesh_cfg["filename"] = os.path.join(base, mesh_cfg["filename"])
+
+    ocfg = config.get("output", {}) or {}
+    out_filename = ocfg.get(
+        "filename",
+        os.path.splitext(os.path.basename(filename))[0] + ".h5",
+    )
+    if not os.path.isabs(out_filename):
+        out_filename = os.path.join(os.getcwd(), out_filename)
+
+    lcfg = config.get("logfile", {}) or {}
+    log_filename = None
+    if lcfg.get("filename") or lcfg == {}:
+        log_filename = lcfg.get(
+            "filename",
+            os.path.splitext(out_filename)[0] + ".yaml",
+        )
+    logger = Logger(
+        filename=log_filename, echo=echo_log or bool(lcfg.get("echo"))
+    )
+
+    sim = Simulation(config)
+    output = HDF5Output(out_filename, sim)
+    ts = Timestepper(config, sim, output=output, logger=logger)
+    try:
+        ts.run()
+    finally:
+        output.close()
+        logger.close()
+    return ts
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="waiwera-tpu",
+        description="TPU-native geothermal flow simulator",
+    )
+    parser.add_argument("filename", help="JSON model input file")
+    parser.add_argument(
+        "-v", "--version", action="version", version="waiwera_tpu 0.1.0"
+    )
+    parser.add_argument(
+        "--echo-log", action="store_true", help="echo log to stdout"
+    )
+    parser.add_argument(
+        "--platform", default=None, help="jax platform override (cpu/tpu)"
+    )
+    args = parser.parse_args(argv)
+    ts = run_json(args.filename, echo_log=args.echo_log,
+                  platform=args.platform)
+    return 0 if not ts.aborted else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

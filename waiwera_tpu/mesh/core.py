@@ -374,6 +374,16 @@ def build_mesh(
     return mesh
 
 
+def set_gravity(mesh: Mesh, gravity) -> None:
+    """Set the gravity vector and recompute face gravity normals
+    (including boundary faces added so far)."""
+    g3 = np.zeros(3)
+    g = np.asarray(gravity, dtype=np.float64)
+    g3[: len(g)] = g
+    mesh.gravity = g3
+    mesh.face_gravity_normal = mesh.face_normal @ g3
+
+
 def _finish_face_geometry(mesh: Mesh):
     """Distances (with non-orthogonal correction, face.F90:230-249),
     gravity normal, permeability direction."""

@@ -66,10 +66,13 @@ class FluidState(NamedTuple):
         )
 
     def mobility(self) -> Array:
-        """[N, np]: kr / nu per phase, 0 where phase absent."""
-        nu = jnp.where(self.viscosity > 0.0, self.viscosity, 1.0)
+        """[N, np]: kr rho / mu per phase (fluid.F90:197-206), 0 where
+        phase absent."""
+        mu = jnp.where(self.viscosity > 0.0, self.viscosity, 1.0)
         return jnp.where(
-            self.viscosity > 0.0, self.relative_permeability / nu, 0.0
+            self.viscosity > 0.0,
+            self.relative_permeability * self.density / mu,
+            0.0,
         )
 
     def phase_flow_fractions(self) -> Array:

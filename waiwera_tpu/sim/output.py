@@ -33,9 +33,17 @@ class HDF5Output:
             "cell_index",
             data=np.arange(self.n, dtype=np.int64)[:, None],
         )
-        self.fields = fields or list(
-            simulation.eos.default_output_fluid_fields
-        )
+        if fields is None:
+            cfg = (simulation.config.get("output", {}) or {}).get(
+                "fields", {}
+            ) or {}
+            extra = cfg.get("fluid", []) if isinstance(cfg, dict) else []
+            fields = list(simulation.eos.default_output_fluid_fields)
+            # required fields always included; extras appended
+            for f in extra:
+                if f not in fields:
+                    fields.append(f)
+        self.fields = fields
         self._cell_ds = {}
         self.source_group = None
         if simulation.sources:

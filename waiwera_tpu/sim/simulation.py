@@ -71,9 +71,18 @@ class Simulation:
         npv = self.eos.num_primary_variables
 
         # mesh
+        mesh_given = mesh is not None
         if mesh is None:
             mesh = self._mesh_from_config(config)
         self.mesh = mesh
+        # gravity semantics (flow_simulation.F90:782-847): scalar g ->
+        # -g in the last mesh dimension; missing/null -> 0 for 2D
+        # meshes, (0,0,-9.8) for 3D. An explicitly passed mesh keeps
+        # its gravity unless the config specifies one.
+        if (not mesh_given) or ("gravity" in config):
+            from waiwera_tpu.mesh.core import set_gravity
+
+            set_gravity(mesh, self._resolve_gravity(config, mesh.dim))
 
         # boundaries add ghost cells (must precede rock/initial setup)
         add_boundaries(mesh, config.get("boundaries", []) or [], npv)
@@ -107,9 +116,7 @@ class Simulation:
             raise ValueError("no mesh specified")
         if isinstance(mesh_cfg, str):
             mesh_cfg = {"filename": mesh_cfg}
-        gravity = config.get("gravity")
-        if isinstance(gravity, (int, float)):
-            gravity = None if gravity is None else [0.0, 0.0, -float(gravity)]
+        gravity = None  # resolved after the mesh dimension is known
         radial = bool(mesh_cfg.get("radial", False))
         thickness = float(mesh_cfg.get("thickness", 1.0))
         if "filename" in mesh_cfg:
@@ -141,6 +148,23 @@ class Simulation:
                 thickness=thickness,
             )
         raise ValueError(f"cannot build mesh from: {mesh_cfg!r}")
+
+    @staticmethod
+    def _resolve_gravity(config, dim: int):
+        g = config.get("gravity", None)
+        if g is None:
+            mag = 0.0 if dim == 2 else 9.8
+            out = np.zeros(3)
+            out[dim - 1] = -mag
+            return out
+        if isinstance(g, (int, float)):
+            out = np.zeros(3)
+            out[dim - 1] = -float(g)
+            return out
+        out = np.zeros(3)
+        arr = np.asarray(g, dtype=np.float64)
+        out[: len(arr)] = arr
+        return out
 
     def _setup_rock(self, rock_cfg, mesh: Mesh) -> RockState:
         n = mesh.num_cells
