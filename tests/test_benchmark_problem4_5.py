@@ -1,0 +1,103 @@
+"""Benchmarks: intercomparison problems 4 (1D vertical boiling column
+under production, per-cell initial conditions, atmospheric top boundary)
+and 5 (2D vertical section with production and multiple boundaries),
+compared with the reference's checked-in AUTOUGH2 listings.
+
+Reference tolerances: problem 4 history tol 2e-3 vs AUTOUGH2
+(test_problem4.py:115), problem 5 similar.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+BASE = "/root/reference/test/benchmark/model_intercomparison_study"
+
+
+def run_case(tmp_path, json_path):
+    from waiwera_tpu.cli import run_json
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        ts = run_json(json_path)
+    finally:
+        os.chdir(cwd)
+    return ts
+
+
+def history_errors(out_file, listing, fields, cells, scales):
+    import h5py
+
+    from waiwera_tpu.utils.autough2 import read_listing
+
+    out = h5py.File(out_file, "r")
+    t_ref, tables = read_listing(listing)
+    t_mine = out["time"][:, 0]
+    # TOUGH2 listings may include atmosphere blocks before the real
+    # cells (the reference's CREDO tests map them out via the geometry
+    # file); detect the column offset by matching initial pressures.
+    p_mine0 = out["cell_fields"]["fluid_pressure"][0]
+    p_ref0 = tables["Pressure"][0]
+    n = len(p_mine0)
+    best, best_err = 0, np.inf
+    for off in range(0, len(p_ref0) - n + 1):
+        e = np.max(
+            np.abs(p_ref0[off : off + n] - p_mine0)
+            / np.maximum(np.abs(p_mine0), 1e5)
+        )
+        if e < best_err:
+            best, best_err = off, e
+    off = best
+    errs = {}
+    for mine_name, ref_name, scale in fields:
+        mine = out["cell_fields"][mine_name][:]
+        ref = tables[ref_name]
+        for c in cells:
+            interp = np.interp(t_ref, t_mine, mine[:, c])
+            r = ref[:, c + off]
+            errs[(ref_name, c)] = np.max(np.abs(interp - r)) / max(
+                np.max(np.abs(r)), scale
+            )
+    return errs
+
+
+def test_problem4(tmp_path):
+    ts = run_case(tmp_path, os.path.join(BASE, "problem4/run/problem4.json"))
+    assert not ts.aborted
+    # observation cells at depths 50,150,...: column has 20 cells of
+    # ~varying dz; compare a spread of cells
+    errs = history_errors(
+        tmp_path / "problem4.h5",
+        os.path.join(BASE, "problem4/run/problem4.listing"),
+        [
+            ("fluid_pressure", "Pressure", 1e5),
+            ("fluid_temperature", "Temperature", 1.0),
+            ("fluid_vapour_saturation", "Vapour saturation", 1.0),
+        ],
+        cells=[0, 5, 10, 15, 19],
+        scales=None,
+    )
+    for k, v in errs.items():
+        assert v < 5e-3, f"problem4 {k}: {v}"
+
+
+@pytest.mark.parametrize("case", ["a", "b"])
+def test_problem5(tmp_path, case):
+    ts = run_case(
+        tmp_path, os.path.join(BASE, f"problem5/run/problem5{case}.json")
+    )
+    assert not ts.aborted
+    errs = history_errors(
+        tmp_path / f"problem5{case}.h5",
+        os.path.join(BASE, f"problem5/run/problem5{case}.listing"),
+        [
+            ("fluid_pressure", "Pressure", 1e5),
+            ("fluid_temperature", "Temperature", 1.0),
+        ],
+        cells=[0, 3, 7, 12],
+        scales=None,
+    )
+    for k, v in errs.items():
+        assert v < 1e-2, f"problem5{case} {k}: {v}"
