@@ -203,5 +203,6 @@ def test_check_primary_variables():
         [[1e5, 20.0], [-1.0, 20.0], [1e5, 900.0], [1e5, 1.5], [1e5, 2.5]]
     )
     region = jnp.array([1, 1, 1, 4, 4], dtype=jnp.int32)
-    err = np.asarray(eos.check_primary_variables(primary, region))
+    _, err = eos.check_primary_variables(primary, region)
+    err = np.asarray(err)
     np.testing.assert_array_equal(err, [False, True, True, False, True])

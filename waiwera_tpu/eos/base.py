@@ -82,8 +82,10 @@ class EOS:
             region.shape, bool
         )
 
-    def check_primary_variables(self, primary: Array, region: Array) -> Array:
-        """Bounds check; True = out of range (err)."""
+    def check_primary_variables(self, primary: Array, region: Array):
+        """Bounds check. Returns (primary, err[N]): some EOS clamp
+        out-of-range variables (e.g. wge partial pressure,
+        eos_wge.F90:573-634) rather than erroring."""
         raise NotImplementedError
 
     def primary_variables(self, fluid: FluidState) -> Array:

@@ -82,7 +82,7 @@ class EOSWater(EOS):
 
     def check_primary_variables(self, primary, region):
         p = primary[:, 0]
-        return (p < 0.0) | (p > 100.0e6)
+        return primary, (p < 0.0) | (p > 100.0e6)
 
     def primary_variables(self, fluid: FluidState) -> Array:
         return fluid.pressure[:, None]

@@ -240,7 +240,7 @@ class EOSWaterEnergy(EOS):
             (x < -1.0) | (x > 2.0),
             (x < 0.0) | (x > 800.0),
         )
-        return p_bad | x_bad
+        return primary, p_bad | x_bad
 
     def primary_variables(self, fluid: FluidState) -> Array:
         second = jnp.where(

@@ -73,13 +73,31 @@ class HDF5Output:
             return f(fluid.saturation)[:n, 1]
         if name == "liquid_saturation":
             return f(fluid.saturation)[:n, 0]
+        if name == "gas_partial_pressure":
+            return f(fluid.partial_pressure)[:n, -1]
+        if name == "water_partial_pressure":
+            return f(fluid.partial_pressure)[:n, 0]
         if name.startswith("liquid_"):
             return self._phase_field(fluid, 0, name[len("liquid_"):])
         if name.startswith("vapour_"):
             return self._phase_field(fluid, 1, name[len("vapour_"):])
         raise ValueError(f"unknown output field {name!r}")
 
+    def _component_index(self, comp: str) -> int:
+        names = [c.lower() for c in self.sim.eos.component_names]
+        comp = comp.lower()
+        if comp in names:
+            return names.index(comp)
+        if comp in ("gas", "ncg"):
+            return len(names) - 1
+        raise ValueError(f"unknown component {comp!r}")
+
     def _phase_field(self, fluid, p, attr):
+        if attr.endswith("_mass_fraction"):
+            comp = self._component_index(attr[: -len("_mass_fraction")])
+            return np.asarray(fluid.mass_fraction)[: self.n, p, comp]
+        if attr == "specific_enthalpy" or attr == "enthalpy":
+            return np.asarray(fluid.specific_enthalpy)[: self.n, p]
         arr = getattr(fluid, attr)
         return np.asarray(arr)[: self.n, p]
 

@@ -135,20 +135,24 @@ class Timestepper:
         ftol = tol.get("function", {}) or {}
         utol = tol.get("update", {}) or {}
         lin = (scfg.get("solver", {}) or {}).get("linear", {}) or {}
+        def opt(d, key, default):
+            v = d.get(key, default)
+            return default if v is None else v
+
         self.newton_params = NewtonParams(
             max_iterations=int(
-                (sol.get("maximum", {}) or {}).get("iterations", 8)
+                opt(sol.get("maximum", {}) or {}, "iterations", 8)
             ),
             min_iterations=int(
-                (sol.get("minimum", {}) or {}).get("iterations", 0)
+                opt(sol.get("minimum", {}) or {}, "iterations", 0)
             ),
-            function_rtol=float(ftol.get("relative", 1e-5)),
-            function_atol=float(ftol.get("absolute", 1.0)),
-            update_rtol=float(utol.get("relative", 1e-10)),
-            update_atol=float(utol.get("absolute", 1.0)),
-            linear_method=str(lin.get("type", "bcgs")).lower(),
+            function_rtol=float(opt(ftol, "relative", 1e-5)),
+            function_atol=float(opt(ftol, "absolute", 1.0)),
+            update_rtol=float(opt(utol, "relative", 1e-10)),
+            update_atol=float(opt(utol, "absolute", 1.0)),
+            linear_method=str(opt(lin, "type", "bcgs")).lower(),
             linear_pc=str(
-                (lin.get("preconditioner", {}) or {}).get("type", "bjacobi")
+                opt(lin.get("preconditioner", {}) or {}, "type", "bjacobi")
             ).lower(),
         )
 

@@ -152,7 +152,9 @@ def newton_solve(
         new_primary, new_region, _, terr = eos.transition(
             old_primary, primary_raw, s.region, s.temperature
         )
-        bounds_err = eos.check_primary_variables(new_primary, new_region)
+        new_primary, bounds_err = eos.check_primary_variables(
+            new_primary, new_region
+        )
         y_new = eos.scale(new_primary, new_region)
         # ghost rows never move
         y_new = jnp.where(interior[:, None], y_new, s.y)

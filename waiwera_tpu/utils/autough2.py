@@ -14,6 +14,25 @@ from typing import Dict, List
 import numpy as np
 
 
+def _header_names(header: str, col_spans):
+    """Assign header tokens to fixed-width data columns by character
+    position (multi-word names like 'Gas saturatio' are single-spaced
+    in NCG listings, so splitting on runs of spaces is not enough)."""
+    tokens = [
+        (m.group(0), 0.5 * (m.start() + m.end()))
+        for m in re.finditer(r"\S+", header)
+    ]
+    # drop the leading ELEMEN[T] / INDEX labels
+    while tokens and tokens[0][0].upper() in ("ELEMEN", "ELEMENT", "INDEX"):
+        tokens.pop(0)
+    centers = [0.5 * (s + e) for s, e in col_spans]
+    names = [[] for _ in col_spans]
+    for word, c in tokens:
+        k = min(range(len(centers)), key=lambda i: abs(centers[i] - c))
+        names[k].append(word)
+    return [" ".join(ws) for ws in names]
+
+
 def read_listing(filename: str):
     """Parse a listing file.
 
@@ -47,12 +66,10 @@ def read_listing(filename: str):
                 j += 1
             header = lines[j]
             # columns: fixed-ish header names after ELEMENT, INDEX
-            names = re.split(r"\s{2,}", header.strip())
-            names = [s.strip() for s in names if s.strip()]
-            assert names[0].upper() == "ELEMENT"
-            col_names = names[2:]
+            assert header.strip().upper().startswith("ELEMEN")
             j += 1
             rows = []
+            col_spans = []
             while j < n:
                 row = lines[j]
                 s = row.strip()
@@ -68,22 +85,37 @@ def read_listing(filename: str):
                     break
                 # data row: ends with numbers; element name may contain
                 # spaces -> parse from the right
-                toks = s.replace("1    ", "", 0).split()
                 vals = []
-                for tkn in reversed(toks):
+                spans = []
+                # collect real-valued tokens from the right; the INDEX
+                # integer and element-name digits have no '.' and stop
+                # the scan
+                for m in reversed(list(re.finditer(r"\S+", row))):
+                    tok = m.group(0)
+                    if "." not in tok:
+                        break
                     try:
-                        vals.append(float(tkn))
+                        # Fortran drops the 'E' for 3-digit exponents
+                        # (e.g. 8.22033-106); restore it
+                        v = float(re.sub(r"(\d)([+-]\d{3})$", r"\1E\2", tok))
                     except ValueError:
                         break
+                    vals.append(v)
+                    spans.append((m.start(), m.end()))
                 vals = vals[::-1]
-                if len(vals) >= len(col_names) + 1:
-                    rows.append(vals[-len(col_names):])
+                spans = spans[::-1]
+                if vals:
+                    rows.append(vals)
+                    if len(spans) > len(col_spans):
+                        col_spans = spans
                 j += 1
             if rows and t is not None:
+                ncol = len(col_spans)
+                col_names = _header_names(header, col_spans)
                 times.append(t)
                 for k, name in enumerate(col_names):
                     data.setdefault(name, []).append(
-                        [r[k] for r in rows]
+                        [r[k] for r in rows if len(r) == ncol]
                     )
             i = j
         else:
