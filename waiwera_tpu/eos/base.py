@@ -97,8 +97,13 @@ class EOS:
     def conductivity(self, rock: RockState, fluid: FluidState) -> Array:
         """Effective heat conductivity with sqrt(S_l) dependence
         (eos.F90:240-257)."""
-        sl = fluid.saturation[:, 0]
-        return rock.dry_conductivity + jnp.sqrt(jnp.clip(sl, 0.0, 1.0)) * (
+        sl = jnp.clip(fluid.saturation[:, 0], 0.0, 1.0)
+        # gradient-safe sqrt: d(sqrt)/dsl is unbounded at sl=0 (dry
+        # cells, region 2), which would put NaN/inf into the AD
+        # Jacobian; branch via where so the tangent at sl=0 is 0
+        root = jnp.where(sl > 0.0, jnp.sqrt(jnp.where(sl > 0.0, sl, 1.0)),
+                         0.0)
+        return rock.dry_conductivity + root * (
             rock.wet_conductivity - rock.dry_conductivity
         )
 

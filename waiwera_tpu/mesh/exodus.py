@@ -15,6 +15,8 @@ from waiwera_tpu.mesh.core import Mesh, build_mesh
 _TYPE_MAP = {
     "HEX": "hexahedron",
     "HEX8": "hexahedron",
+    "HEXAHEDRON": "hexahedron",
+    "TETRAHEDRON": "tetra",
     "TETRA": "tetra",
     "TETRA4": "tetra",
     "TET4": "tetra",

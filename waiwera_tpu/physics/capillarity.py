@@ -38,6 +38,9 @@ class LinearCP(CapillaryPressure):
 
     def __init__(self, saturation_limits=(0.0, 1.0), pressure=0.125e5):
         lo, hi = map(float, saturation_limits)
+        if hi <= lo:
+            # degenerate limits (e.g. [0, 0]): step from -P to 0 at lo
+            hi = lo + 1e-10
         self.table = InterpolationTable(
             np.array([[lo, -float(pressure)], [hi, 0.0]])
         )

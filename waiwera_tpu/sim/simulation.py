@@ -34,7 +34,7 @@ from waiwera_tpu.physics.state import (
     DEFAULT_SPECIFIC_HEAT,
     RockState,
 )
-from waiwera_tpu.sim.sources import Sources
+from waiwera_tpu.sim.network import SourceNetwork
 from waiwera_tpu.solver.newton import NewtonParams, newton_solve
 from waiwera_tpu.solver.system import MethodCoeffs, System
 
@@ -93,20 +93,26 @@ class Simulation:
         # rocks
         self.rock = self._setup_rock(rock_cfg, mesh)
 
-        # sources
+        # source network (source_setup.F90; network config section)
         src_cfg = config.get("source", []) or []
         if isinstance(src_cfg, dict):
             src_cfg = [src_cfg]
-        self.sources = Sources(src_cfg, mesh, self.eos) if src_cfg else None
-
-        self.system = System(
-            self.eos,
-            self.mesh_dev,
-            self.sources.arrays if self.sources else None,
+        self.sources = (
+            SourceNetwork(
+                src_cfg, config.get("network", {}) or {}, mesh, self.eos,
+                self.thermo,
+            )
+            if src_cfg
+            else None
         )
+
+        self.system = System(self.eos, self.mesh_dev, self.sources)
 
         # initial conditions
         self.y0, self.region0 = self._setup_initial(config, mesh)
+        if self.sources is not None:
+            fluid0, _ = self.initial_fluid()
+            self.sources.finalize(fluid0)
 
     # ------------------------------------------------------------------
 
@@ -120,10 +126,20 @@ class Simulation:
         radial = bool(mesh_cfg.get("radial", False))
         thickness = float(mesh_cfg.get("thickness", 1.0))
         if "filename" in mesh_cfg:
+            fname = mesh_cfg["filename"]
+            if fname.lower().endswith((".exo", ".e", ".ex2", ".g")):
+                from waiwera_tpu.mesh.exodus import read_exodus
+
+                return read_exodus(
+                    fname,
+                    gravity=gravity,
+                    radial=radial,
+                    thickness=thickness,
+                )
             from waiwera_tpu.mesh.gmsh import read_gmsh
 
             return read_gmsh(
-                mesh_cfg["filename"],
+                fname,
                 gravity=gravity,
                 radial=radial,
                 thickness=thickness,
@@ -264,11 +280,8 @@ class Simulation:
         @jax.jit
         def step(y, region, temperature, lhs_last, lhs_last2, t_last, dt,
                  dt_last, first):
-            if sources is not None:
-                rate, enthalpy = sources.rates_at(t_last, t_last + dt)
-            else:
-                rate = jnp.zeros(0)
-                enthalpy = jnp.zeros(0)
+            t0 = t_last
+            t1 = t_last + dt
             if steady:
                 coeffs = MethodCoeffs(
                     c_lhs=jnp.asarray(0.0),
@@ -299,14 +312,14 @@ class Simulation:
                 temperature,
                 rock,
                 coeffs,
-                rate,
-                enthalpy,
+                t0,
+                t1,
                 lhs_scale=lhs_last,
                 params=newton_params,
             )
             fluid, cond, err = system.derived_state(res.y, res.region, rock)
             lhs_new = system.lhs(fluid, rock)
-            rhs_new, fluxes = system.rhs(fluid, cond, rock, rate, enthalpy)
+            rhs_new, fluxes = system.rhs(fluid, cond, rock, t0, t1)
             return res, fluid, lhs_new, fluxes
 
         return step

@@ -498,7 +498,7 @@ class Timestepper:
     def _source_output(self, fluid, t0, dt):
         if self.sim.sources is None:
             return None
-        rate, enthalpy = self.sim.sources.rates_at(t0, t0 + dt)
+        rate, enthalpy = self.sim.sources.flows(fluid, t0, t0 + dt)
         return {
             "rate": np.asarray(rate),
             "enthalpy": np.asarray(enthalpy),

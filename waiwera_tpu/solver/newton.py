@@ -71,8 +71,8 @@ def newton_solve(
     temperature0: Array,
     rock,
     coeffs: MethodCoeffs,
-    rate: Array,
-    enthalpy: Array,
+    t0: Array,
+    t1: Array,
     lhs_scale: Array,
     params: NewtonParams = NewtonParams(),
 ) -> NewtonResult:
@@ -89,7 +89,7 @@ def newton_solve(
         return jnp.any(e & interior)
 
     r0, L0, _, err0 = system.residual(
-        y0, region0, rock, coeffs, rate, enthalpy
+        y0, region0, rock, coeffs, t0, t1
     )
     fnorm0 = jnp.linalg.norm(r0)
     maxres0 = _max_scaled(r0, lhs_scale, params.function_atol)
@@ -130,7 +130,7 @@ def newton_solve(
     def body(s: _State):
         # Jacobian at current iterate
         r, L, _, err, mat = system.residual_and_jacobian(
-            s.y, s.region, rock, coeffs, rate, enthalpy
+            s.y, s.region, rock, coeffs, t0, t1
         )
         pc = precond.make_preconditioner(
             params.linear_pc, mat, sweeps=params.pc_sweeps
@@ -163,7 +163,7 @@ def newton_solve(
         # residual at the updated iterate (custom linesearch recompute)
         fluid, cond_, perr = system.derived_state(y_new, new_region, rock)
         L_new = system.lhs(fluid, rock)
-        R_new, _ = system.rhs(fluid, cond_, rock, rate, enthalpy)
+        R_new, _ = system.rhs(fluid, cond_, rock, t0, t1)
         r_new = coeffs.c_lhs * L_new + coeffs.const - coeffs.dt_eff * R_new
         r_new = jnp.where(interior[:, None], r_new, 0.0)
 

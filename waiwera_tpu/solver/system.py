@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from waiwera_tpu.mesh.device import MeshArrays
 from waiwera_tpu.physics import assembly
 from waiwera_tpu.physics.state import FluidState, RockState
-from waiwera_tpu.sim.sources import SourceArrays, source_inflows
+from waiwera_tpu.sim.sources import source_inflows
 from waiwera_tpu.solver import bsr
 
 Array = jnp.ndarray
@@ -45,10 +45,12 @@ class System:
     """Couples an EOS, mesh and sources into residual/Jacobian
     evaluations on dense arrays."""
 
-    def __init__(self, eos, mesh: MeshArrays, sources: Optional[SourceArrays]):
+    def __init__(self, eos, mesh: MeshArrays, network=None):
+        """network: Optional[SourceNetwork] (sim.network) providing the
+        per-residual source update flows(fluid, t0, t1)."""
         self.eos = eos
         self.mesh = mesh
-        self.sources = sources
+        self.network = network
         self.npv = eos.num_primary_variables
         self.isothermal = eos.isothermal
         face_cells = np.asarray(mesh.face_cells)
@@ -77,12 +79,18 @@ class System:
         L = assembly.cell_balances(fluid, rock, self.npv)
         return jnp.where(self.mesh.is_ghost[:, None], 0.0, L)
 
-    def source_term(self, fluid, rate, enthalpy) -> Array:
-        if self.sources is None or self.sources.cell.shape[0] == 0:
+    def source_term(self, fluid, t0, t1) -> Array:
+        """Cell inflows from the source network at the current fluid
+        state (flow_simulation.F90:1468: network update + q/V
+        assembly). The network update is traced here, so
+        fluid-dependent rates (deliverability, recharge, production
+        enthalpy) enter the AD Jacobian's diagonal blocks."""
+        if self.network is None or self.network.num_sources == 0:
             return jnp.zeros((self.mesh.num_cells, self.npv))
+        rate, enthalpy = self.network.flows(fluid, t0, t1)
         return source_inflows(
             fluid,
-            self.sources,
+            self.network.arrays,
             rate,
             enthalpy,
             self.npv,
@@ -102,12 +110,12 @@ class System:
             self.isothermal,
         )
 
-    def rhs(self, fluid, cond, rock, rate, enthalpy):
+    def rhs(self, fluid, cond, rock, t0, t1):
         """Net cell inflows (per unit volume) = flux divergence +
         sources. Returns (rhs [N, npv], fluxes [F, nf])."""
         fluxes = self.fluxes(fluid, cond, rock)
         inflow = assembly.cell_inflows(fluxes, self.mesh, self.npv)
-        inflow = inflow + self.source_term(fluid, rate, enthalpy)
+        inflow = inflow + self.source_term(fluid, t0, t1)
         return jnp.where(self.mesh.is_ghost[:, None], 0.0, inflow), fluxes
 
     # -- residual -----------------------------------------------------
@@ -118,13 +126,13 @@ class System:
         region: Array,
         rock: RockState,
         coeffs: MethodCoeffs,
-        rate: Array,
-        enthalpy: Array,
+        t0: Array,
+        t1: Array,
     ):
         """Returns (residual [N, npv], lhs [N, npv], fluxes, err[N])."""
         fluid, cond, err = self.derived_state(y, region, rock)
         L = self.lhs(fluid, rock)
-        R, fluxes = self.rhs(fluid, cond, rock, rate, enthalpy)
+        R, fluxes = self.rhs(fluid, cond, rock, t0, t1)
         r = coeffs.c_lhs * L + coeffs.const - coeffs.dt_eff * R
         r = jnp.where(self.mesh.is_ghost[:, None], 0.0, r)
         return r, L, fluxes, err
@@ -137,8 +145,8 @@ class System:
         region: Array,
         rock: RockState,
         coeffs: MethodCoeffs,
-        rate: Array,
-        enthalpy: Array,
+        t0: Array,
+        t1: Array,
     ):
         """Returns (residual, lhs, fluxes, err, BSRMatrix)."""
         mesh = self.mesh
@@ -168,7 +176,7 @@ class System:
         # cell-local terms: L and sources
         def cell_fn(f):
             L = self.lhs(f, rock)
-            q = self.source_term(f, rate, enthalpy)
+            q = self.source_term(f, t0, t1)
             return L, q
 
         (L, q) = cell_fn(fluid)

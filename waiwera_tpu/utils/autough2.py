@@ -22,8 +22,10 @@ def _header_names(header: str, col_spans):
         (m.group(0), 0.5 * (m.start() + m.end()))
         for m in re.finditer(r"\S+", header)
     ]
-    # drop the leading ELEMEN[T] / INDEX labels
-    while tokens and tokens[0][0].upper() in ("ELEMEN", "ELEMENT", "INDEX"):
+    # drop the leading ELEMEN[T] / SOURCE / INDEX labels
+    while tokens and tokens[0][0].upper() in (
+        "ELEMEN", "ELEMENT", "SOURCE", "INDEX"
+    ):
         tokens.pop(0)
     centers = [0.5 * (s + e) for s, e in col_spans]
     names = [[] for _ in col_spans]
@@ -33,13 +35,18 @@ def _header_names(header: str, col_spans):
     return [" ".join(ws) for ws in names]
 
 
-def read_listing(filename: str):
+def read_listing(filename: str, table: str = "element"):
     """Parse a listing file.
 
     Returns (times [nt], tables: {column_name: [nt, n_elements]}).
     Column names as in the file header (e.g. 'Pressure',
-    'Temperature', 'Vapour saturation').
+    'Temperature', 'Vapour saturation'). table='generation' parses the
+    per-source GENERATION TABLE blocks instead (columns like
+    'Generation rate', 'Enthalpy').
     """
+    marker = (
+        "GENERATION TABLE" if table == "generation" else "ELEMENT TABLE"
+    )
     with open(filename, errors="replace") as f:
         lines = f.readlines()
 
@@ -52,7 +59,7 @@ def read_listing(filename: str):
     )
     while i < n:
         line = lines[i]
-        if "ELEMENT TABLE" in line:
+        if marker in line:
             # find the time from the preceding OUTPUT AFTER line
             t = None
             for j in range(i, max(0, i - 10), -1):
@@ -67,6 +74,9 @@ def read_listing(filename: str):
             header = lines[j]
             # columns: fixed-ish header names after ELEMENT, INDEX
             assert header.strip().upper().startswith("ELEMEN")
+            if table == "generation" and "SOURCE" not in header.upper():
+                i = j
+                continue
             j += 1
             rows = []
             col_spans = []
