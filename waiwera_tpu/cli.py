@@ -31,12 +31,15 @@ def run_json(filename: str, echo_log: bool = False, platform=None):
     with open(filename) as f:
         config = json.load(f)
 
-    # mesh filenames are relative to the JSON file
+    # mesh / restart filenames are relative to the JSON file
     mesh_cfg = config.get("mesh")
     if isinstance(mesh_cfg, str):
         config["mesh"] = os.path.join(base, mesh_cfg)
     elif isinstance(mesh_cfg, dict) and "filename" in mesh_cfg:
         mesh_cfg["filename"] = os.path.join(base, mesh_cfg["filename"])
+    ic = config.get("initial")
+    if isinstance(ic, dict) and ic.get("filename"):
+        ic["filename"] = os.path.join(base, ic["filename"])
 
     ocfg = config.get("output", {}) or {}
     out_filename = ocfg.get(

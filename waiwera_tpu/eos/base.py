@@ -88,6 +88,12 @@ class EOS:
         eos_wge.F90:573-634) rather than erroring."""
         raise NotImplementedError
 
+    def primary_from_output_fields(self, fields):
+        """Reconstruct (primary [n, npv], region [n]) from the
+        required output fluid fields of a restart file
+        (initial.F90:421-679 'minimal' restart)."""
+        raise NotImplementedError
+
     def primary_variables(self, fluid: FluidState) -> Array:
         """Recover primary variables from fluid state (for restarts)."""
         raise NotImplementedError

@@ -86,3 +86,11 @@ class EOSWater(EOS):
 
     def primary_variables(self, fluid: FluidState) -> Array:
         return fluid.pressure[:, None]
+
+    def primary_from_output_fields(self, fields):
+        import numpy as np
+
+        p = np.asarray(fields["pressure"], dtype=np.float64)
+        region = np.asarray(fields.get("region", np.ones_like(p)),
+                            dtype=np.int32)
+        return p[:, None], region

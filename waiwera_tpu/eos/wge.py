@@ -306,6 +306,15 @@ class EOSWaterGasEnergy(EOS):
         out = jnp.stack([p, x, pg_new], axis=-1)
         return out, p_bad | pw_bad | x_bad
 
+    def primary_from_output_fields(self, fields):
+        p = np.asarray(fields["pressure"], dtype=np.float64)
+        t = np.asarray(fields["temperature"], dtype=np.float64)
+        sv = np.asarray(fields["vapour_saturation"], dtype=np.float64)
+        pg = np.asarray(fields["gas_partial_pressure"], dtype=np.float64)
+        region = np.asarray(fields["region"], dtype=np.int32)
+        second = np.where(region == 4, sv, t)
+        return np.stack([p, second, pg], axis=-1), region
+
     def primary_variables(self, fluid: FluidState) -> Array:
         second = jnp.where(
             fluid.region == 4, fluid.saturation[:, 1], fluid.temperature

@@ -475,7 +475,13 @@ def add_boundaries(mesh: Mesh, boundary_specs: List[dict], npv: int):
                     mesh.num_faces + len(ghosts_all),
                     dtype=np.int64,
                 ),
-                tracer=None,
+                tracer=(
+                    np.atleast_1d(
+                        np.asarray(spec["tracer"], dtype=np.float64)
+                    )
+                    if spec.get("tracer") is not None
+                    else None
+                ),
             )
         )
 

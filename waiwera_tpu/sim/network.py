@@ -242,6 +242,10 @@ class _SourceSpec:
     # separator / limiter
     separator: _Separator = field(default_factory=_Separator)
     limiter: Optional[_Limiter] = None
+    # tracer injection rates, one entry (const, table) per tracer
+    tracer_rates: List[Tuple[float, Optional[InterpolationTable]]] = field(
+        default_factory=list
+    )
 
 
 @dataclass
@@ -294,10 +298,11 @@ class SourceNetwork:
     """
 
     def __init__(self, specs: List[dict], network_cfg: dict, mesh, eos,
-                 thermo):
+                 thermo, tracer_names=()):
         self.eos = eos
         self.thermo = thermo
         self.isothermal = eos.isothermal
+        self.tracer_names = [str(n).lower() for n in tracer_names]
         self.specs: List[_SourceSpec] = []
         self.names: List[str] = []
         cells_list = []
@@ -431,6 +436,30 @@ class SourceNetwork:
             sep_p = _Limiter.separator_pressure(lim_cfg)
         s.separator = _Separator.build(sep_p, self.thermo)
         s.limiter = _Limiter.parse(lim_cfg, ispec)
+
+        # tracer injection rates (source_setup get_tracer_injection_rate):
+        # scalar (all tracers), list per tracer, or {name: rate}; each
+        # entry may be a time table
+        nt = len(self.tracer_names)
+        s.tracer_rates = [(0.0, None)] * nt
+        tcfg = spec.get("tracer")
+        if tcfg is not None and nt:
+            def entry(v):
+                if isinstance(v, (list, np.ndarray)) and np.ndim(v) == 2:
+                    return (0.0, table_from_json(v, ispec))
+                return (float(v), None)
+
+            if isinstance(tcfg, dict):
+                for name, v in tcfg.items():
+                    if str(name).lower() in self.tracer_names:
+                        k = self.tracer_names.index(str(name).lower())
+                        s.tracer_rates[k] = entry(v)
+            elif isinstance(tcfg, (list, np.ndarray)) and np.ndim(tcfg) == 1:
+                for k, v in enumerate(tcfg):
+                    if k < nt:
+                        s.tracer_rates[k] = entry(v)
+            else:
+                s.tracer_rates = [entry(tcfg)] * nt
 
     def _parse_pref(self, s: _SourceSpec, cfg: dict, prefix: str,
                     ispec: dict):
@@ -723,6 +752,18 @@ class SourceNetwork:
 
         self._last_separated = (qw, hw, qs, hs)
         return q, h_eff
+
+    def tracer_injection(self, t0, t1):
+        """[ns, nt] tracer injection rates over the interval."""
+        nt = len(self.tracer_names)
+        out = jnp.asarray(
+            [[c for c, _ in s.tracer_rates] for s in self.specs]
+        ).reshape(self.num_sources, nt)
+        for i, s in enumerate(self.specs):
+            for k, (_, tab) in enumerate(s.tracer_rates):
+                if tab is not None:
+                    out = out.at[i, k].set(tab.average(t0, t1)[0])
+        return out
 
     def _reference_pressure(self, prefix, t0, t1, h_flow, P):
         pref = jnp.asarray(

@@ -102,7 +102,7 @@ class HDF5Output:
         return np.asarray(arr)[: self.n, p]
 
     def write(self, index: int, time: float, fluid: FluidState,
-              source_data: Optional[dict] = None):
+              source_data: Optional[dict] = None, tracer=None):
         nt = self.time_ds.shape[0]
         self.time_ds.resize((nt + 1, 1))
         self.time_ds[nt, 0] = time
@@ -110,8 +110,15 @@ class HDF5Output:
             ds = self._cell_dataset("fluid_" + name)
             ds.resize((nt + 1, self.n))
             ds[nt] = self._field_values(fluid, name)
+        if tracer is not None and self.sim.tracers is not None:
+            x = np.asarray(tracer)
+            for k, nm in enumerate(self.sim.tracers.names):
+                ds = self._cell_dataset(f"tracer_{nm}")
+                ds.resize((nt + 1, self.n))
+                ds[nt] = x[: self.n, k]
         if source_data and self.source_group is not None:
             for key, values in source_data.items():
+                values = np.asarray(values).reshape(-1)
                 name = "source_" + key
                 if name not in self._src_ds:
                     ns = len(values)
@@ -120,7 +127,7 @@ class HDF5Output:
                     )
                 ds = self._src_ds[name]
                 ds.resize((ds.shape[0] + 1, ds.shape[1]))
-                ds[-1] = np.asarray(values)
+                ds[-1] = values
         self.file.flush()
 
     def close(self):

@@ -90,8 +90,20 @@ class Simulation:
         self.mesh_dev = mesh_arrays(mesh)
         n = mesh.num_cells
 
+        # zones (zone.F90:37-80; box / cell-array / combine)
+        self.zones = self._setup_zones(config, mesh)
+
         # rocks
         self.rock = self._setup_rock(rock_cfg, mesh)
+
+        # tracers (tracer.F90 setup_tracers)
+        tracer_cfg = config.get("tracer")
+        if tracer_cfg:
+            from waiwera_tpu.sim.tracer import TracerSet
+
+            self.tracers = TracerSet(tracer_cfg, self.eos)
+        else:
+            self.tracers = None
 
         # source network (source_setup.F90; network config section)
         src_cfg = config.get("source", []) or []
@@ -101,6 +113,7 @@ class Simulation:
             SourceNetwork(
                 src_cfg, config.get("network", {}) or {}, mesh, self.eos,
                 self.thermo,
+                tracer_names=self.tracers.names if self.tracers else (),
             )
             if src_cfg
             else None
@@ -110,6 +123,8 @@ class Simulation:
 
         # initial conditions
         self.y0, self.region0 = self._setup_initial(config, mesh)
+        if self.tracers is not None:
+            self.tracer0 = self._setup_initial_tracer(config, mesh)
         if self.sources is not None:
             fluid0, _ = self.initial_fluid()
             self.sources.finalize(fluid0)
@@ -182,6 +197,70 @@ class Simulation:
         out[: len(arr)] = arr
         return out
 
+    def _setup_zones(self, config, mesh: Mesh):
+        """Resolve mesh zones to interior cell index arrays
+        (zone.F90:37-80: cell-array, coordinate box, combine)."""
+        mesh_cfg = config.get("mesh")
+        zcfg = (
+            mesh_cfg.get("zones", {}) if isinstance(mesh_cfg, dict) else {}
+        ) or {}
+        zones = {}
+        centroid = mesh.cell_centroid[: mesh.num_interior_cells]
+        axes = "xyz"[: mesh.dim] if mesh.dim <= 3 else "xyz"
+        pending = dict(zcfg)
+        while pending:
+            progressed = False
+            for name, spec in list(pending.items()):
+                if not isinstance(spec, dict):
+                    spec = {"cells": spec}
+                ztype = spec.get("type")
+                if ztype is None:
+                    ztype = (
+                        "array" if "cells" in spec
+                        else ("combine" if ("+" in spec or "-" in spec)
+                              else "box")
+                    )
+                if ztype == "array":
+                    cells = np.asarray(spec.get("cells", []), np.int64)
+                elif ztype == "combine":
+                    plus = [
+                        z for z in np.atleast_1d(spec.get("+", []))
+                    ]
+                    minus = [
+                        z for z in np.atleast_1d(spec.get("-", []))
+                    ]
+                    if not all(z in zones for z in plus + minus):
+                        continue
+                    sel = np.zeros(mesh.num_interior_cells, bool)
+                    for z in plus:
+                        sel[zones[z]] = True
+                    for z in minus:
+                        sel[zones[z]] = False
+                    cells = np.flatnonzero(sel)
+                else:  # box
+                    sel = np.ones(mesh.num_interior_cells, bool)
+                    for k, ax in enumerate(axes):
+                        if ax in spec and spec[ax] is not None:
+                            lo, hi = spec[ax]
+                            sel &= (centroid[:, k] >= lo) & (
+                                centroid[:, k] <= hi
+                            )
+                    cells = np.flatnonzero(sel)
+                zones[name] = cells
+                del pending[name]
+                progressed = True
+            if not progressed:
+                raise ValueError("cyclic or undefined zone references")
+        return zones
+
+    def _zone_cells(self, names):
+        sel = np.zeros(self.mesh.num_interior_cells, bool)
+        for nm in np.atleast_1d(names):
+            if nm not in self.zones:
+                raise ValueError(f"unknown zone {nm!r}")
+            sel[self.zones[nm]] = True
+        return np.flatnonzero(sel)
+
     def _setup_rock(self, rock_cfg, mesh: Mesh) -> RockState:
         n = mesh.num_cells
         perm = np.full((n, 3), DEFAULT_PERMEABILITY)
@@ -191,7 +270,10 @@ class Simulation:
         dens = np.full(n, DEFAULT_ROCK_DENSITY)
         sph = np.full(n, DEFAULT_SPECIFIC_HEAT)
         for rt in rock_cfg.get("types", []) or []:
-            cells = np.asarray(rt.get("cells", []), dtype=np.int64)
+            if "zones" in rt:
+                cells = self._zone_cells(rt["zones"])
+            else:
+                cells = np.asarray(rt.get("cells", []), dtype=np.int64)
             if len(cells) == 0:
                 cells = np.arange(mesh.num_interior_cells)
             k = rt.get("permeability", DEFAULT_PERMEABILITY)
@@ -230,12 +312,17 @@ class Simulation:
 
     def _setup_initial(self, config, mesh: Mesh):
         """Initial primary variables and regions (initial.F90, constant
-        or per-cell arrays), plus boundary values in ghost rows."""
+        or per-cell arrays, or restart from an HDF5 output file),
+        plus boundary values in ghost rows."""
         npv = self.eos.num_primary_variables
         n = mesh.num_cells
         ic = config.get("initial", {}) or {}
         primary = np.tile(self.eos.default_primary, (n, 1))
         region = np.full(n, self.eos.default_region, dtype=np.int32)
+        if "filename" in ic and ic["filename"]:
+            p, r = self._initial_from_file(ic, mesh)
+            primary[: mesh.num_interior_cells] = p
+            region[: mesh.num_interior_cells] = r
         if "primary" in ic:
             p = np.asarray(ic["primary"], dtype=np.float64)
             if p.ndim == 1:
@@ -252,6 +339,62 @@ class Simulation:
         region_j = jnp.asarray(region, jnp.int32)
         y = self.eos.scale(jnp.asarray(primary), region_j)
         return y, region_j
+
+    def _initial_from_file(self, ic, mesh: Mesh):
+        """Restart from an HDF5 output file (initial.F90:421-679):
+        loads the EOS's required output fluid fields at the given time
+        index (default -1 = last), mapped by natural cell index."""
+        import h5py
+
+        index = ic.get("index", -1)
+        index = -1 if index is None else int(index)
+        with h5py.File(ic["filename"], "r") as f:
+            cf = f["cell_fields"]
+            order = np.asarray(f["cell_index"][:, 0], np.int64)
+            inv = np.argsort(order)
+            fields = {}
+            for name in self.eos.required_output_fluid_fields:
+                ds = f"fluid_{name}" if f"fluid_{name}" in cf else name
+                fields[name] = np.asarray(cf[ds][index])[inv]
+            self._restart_tracer_fields = {}
+            if self.tracers is not None:
+                for nm in self.tracers.names:
+                    ds = f"tracer_{nm}"
+                    if ds in cf:
+                        self._restart_tracer_fields[nm] = np.asarray(
+                            cf[ds][index]
+                        )[inv]
+        return self.eos.primary_from_output_fields(fields)
+
+    def _setup_initial_tracer(self, config, mesh: Mesh):
+        """[N, nt] initial tracer mass fractions, with boundary values
+        in ghost rows."""
+        nt = self.tracers.num_tracers
+        n = mesh.num_cells
+        x = np.zeros((n, nt))
+        ic = config.get("initial", {}) or {}
+        tr = ic.get("tracer")
+        if tr is not None:
+            arr = np.asarray(tr, dtype=np.float64)
+            if arr.ndim == 0:
+                x[: mesh.num_interior_cells] = float(arr)
+            elif arr.ndim == 1 and arr.shape[0] == nt:
+                x[: mesh.num_interior_cells] = arr
+            else:
+                x[: mesh.num_interior_cells] = arr.reshape(
+                    mesh.num_interior_cells, -1
+                )
+        for nm, vals in getattr(self, "_restart_tracer_fields",
+                                {}).items():
+            k = self.tracers.names.index(nm)
+            x[: mesh.num_interior_cells, k] = vals
+        for b in mesh.boundaries:
+            if b.tracer is not None:
+                bt = b.tracer
+                if bt.shape[0] != nt:
+                    bt = np.full(nt, bt[0])
+                x[b.cells] = bt
+        return jnp.asarray(x)
 
     # ------------------------------------------------------------------
 
@@ -323,6 +466,75 @@ class Simulation:
             return res, fluid, lhs_new, fluxes
 
         return step
+
+    def make_tracer_step_fn(self):
+        """Jitted auxiliary tracer solve for one accepted timestep
+        (timestepper.F90:458-557 linear setup; aux solve
+        :2347-2356)."""
+        from waiwera_tpu.sim import tracer as tracer_mod
+
+        tracers = self.tracers
+        mesh = self.mesh_dev
+        rock = self.rock
+        network = self.sources
+        npv = self.eos.num_primary_variables
+        ghost_value = jnp.asarray(self.tracer0)
+
+        @jax.jit
+        def tracer_step(fluid, fluxes, x_last, al_last, x_last2, al_last2,
+                        t0, t1, dt, dt_last, first, use_bdf2):
+            if network is not None and network.num_sources > 0:
+                rate, _ = network.flows(fluid, t0, t1)
+                cells = network.arrays.cell
+                frac = fluid.phase_flow_fractions()[cells][
+                    :, jnp.asarray(tracers.phase_index)
+                ]
+                inj = network.tracer_injection(t0, t1)
+            else:
+                rate = None
+                cells = None
+                frac = None
+                inj = None
+            r = dt / dt_last
+            be = (~use_bdf2) | (first > 0.5)
+            c_al = jnp.where(be, 1.0, 1.0 + 2.0 * r)
+            dt_eff = jnp.where(be, dt, dt * (r + 1.0))
+            b_hist = jnp.where(
+                be,
+                al_last * x_last,
+                (r + 1.0) ** 2 * al_last * x_last
+                - r * r * al_last2 * x_last2,
+            )
+            return tracer_mod.solve(
+                tracers,
+                mesh,
+                fluid,
+                rock,
+                fluxes,
+                npv,
+                x_last,
+                al_last,
+                x_last2,
+                al_last2,
+                c_al,
+                dt_eff,
+                b_hist,
+                cells,
+                rate,
+                frac,
+                inj,
+                ghost_value,
+            )
+
+        return tracer_step
+
+    def initial_tracer_state(self):
+        """(x0, al0) at the initial fluid state."""
+        from waiwera_tpu.sim import tracer as tracer_mod
+
+        fluid0, _ = self.initial_fluid()
+        al0 = tracer_mod.balance_coefs(self.tracers, fluid0, self.rock)
+        return jnp.asarray(self.tracer0), al0
 
     def lhs_at(self, y, region):
         fluid, cond, err = self.system.derived_state(y, region, self.rock)

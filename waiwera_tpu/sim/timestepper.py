@@ -188,6 +188,11 @@ class Timestepper:
             self.adapt_on_input = False
 
         self.step_fn = sim.make_step_fn(self.newton_params, self.method)
+        self.tracer_step_fn = (
+            sim.make_tracer_step_fn()
+            if sim.tracers is not None and not self.steady_state
+            else None
+        )
 
         # runtime state
         self.taken = 0
@@ -221,6 +226,11 @@ class Timestepper:
         temperature = fluid.temperature
         lhs_last2 = lhs
         dt_last = self.sizes[0] if self.sizes[0] > 0 else 1.0
+        if self.tracer_step_fn is not None:
+            aux_x, aux_al = sim.initial_tracer_state()
+            aux_x2, aux_al2 = aux_x, aux_al
+        else:
+            aux_x = None
 
         self.taken = 0
         self.output_index = 0
@@ -230,7 +240,8 @@ class Timestepper:
 
         if self.output_initial and self.output is not None:
             self.output.write(self.output_index, t, fluid,
-                              self._source_output(fluid, t, dt_last))
+                              self._source_output(fluid, t, dt_last, aux_x),
+                              tracer=aux_x)
             self.output_index += 1
 
         # fixed-size sequence state (timestepper.F90:1381-1453)
@@ -300,6 +311,29 @@ class Timestepper:
                 num_tries += 1
                 converged = bool(res.converged) and not bool(res.failed)
                 its = int(res.iterations)
+                tres = None
+                if converged and self.tracer_step_fn is not None:
+                    # auxiliary (tracer) linear solve for this try
+                    # (timestepper.F90:2347-2356); failure retries the
+                    # step like a nonlinear failure
+                    tres = self.tracer_step_fn(
+                        new_fluid,
+                        fluxes,
+                        aux_x,
+                        aux_al,
+                        aux_x2,
+                        aux_al2,
+                        jnp.asarray(t),
+                        jnp.asarray(t_try),
+                        jnp.asarray(dt),
+                        jnp.asarray(dt_last),
+                        jnp.asarray(1.0 if self.taken == 0 else 0.0),
+                        jnp.asarray(self.method == "bdf2"),
+                    )
+                    if not bool(tres.converged):
+                        log.write("warn", "tracer_solver", "not_converged",
+                                  iterations=int(tres.iterations))
+                        converged = False
                 log.write(
                     "info" if converged else "warn",
                     "nonlinear_solver",
@@ -386,6 +420,9 @@ class Timestepper:
                 lhs = lhs_new
                 fluid = new_fluid
                 temperature = new_fluid.temperature
+                if tres is not None:
+                    aux_x2, aux_al2 = aux_x, aux_al
+                    aux_x, aux_al = tres.x, tres.al
                 since_output += 1
                 log.write(
                     "info",
@@ -402,7 +439,9 @@ class Timestepper:
                 ):
                     self.output.write(
                         self.output_index, t, fluid,
-                        self._source_output(fluid, t - dt_last, dt_last))
+                        self._source_output(fluid, t - dt_last, dt_last,
+                                            aux_x),
+                        tracer=aux_x)
                     self.output_index += 1
                     if self.checkpoints.hit:
                         self.checkpoints.update()
@@ -423,7 +462,8 @@ class Timestepper:
             and since_output > 0
         ):
             self.output.write(self.output_index, t, fluid,
-                              self._source_output(fluid, t, dt_last))
+                              self._source_output(fluid, t, dt_last, aux_x),
+                              tracer=aux_x)
             self.output_index += 1
         log.write(
             "info",
@@ -495,11 +535,27 @@ class Timestepper:
                     accepted, next_stepsize = adapt(status, dt)
         return accepted, next_stepsize, adaptor_on, fixed_index
 
-    def _source_output(self, fluid, t0, dt):
+    def _source_output(self, fluid, t0, dt, aux_x=None):
         if self.sim.sources is None:
             return None
-        rate, enthalpy = self.sim.sources.flows(fluid, t0, t0 + dt)
-        return {
+        net = self.sim.sources
+        rate, enthalpy = net.flows(fluid, t0, t0 + dt)
+        out = {
             "rate": np.asarray(rate),
             "enthalpy": np.asarray(enthalpy),
         }
+        if aux_x is not None and self.sim.tracers is not None:
+            # tracer flows at sources (flow_simulation.F90
+            # source_update_tracer_flow): production carries the cell
+            # tracer mass fraction by the tracer phase flow fraction;
+            # injection uses the specified injection rate
+            tr = self.sim.tracers
+            cells = np.asarray(net.arrays.cell)
+            frac = np.asarray(fluid.phase_flow_fractions())[cells][
+                :, tr.phase_index
+            ]
+            xc = np.asarray(aux_x)[cells]
+            q = np.asarray(rate)[:, None]
+            inj = np.asarray(net.tracer_injection(t0, t0 + dt))
+            out["tracer_flow"] = np.where(q < 0, xc * frac * q, inj)
+        return out

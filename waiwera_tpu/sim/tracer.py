@@ -1,0 +1,228 @@
+"""Passive tracers: the auxiliary linear problem.
+
+Counterpart of tracer.F90 and the aux-problem machinery in
+flow_simulation.F90:1489-1959 / timestepper.F90:458-557. Per accepted
+timestep, solves
+
+    [c_Al Al - dt_eff Ar] x = b
+
+where Al = diag(phi S_p rho_p) per tracer (cell.F90:146-164), Ar has
+upstream-weighted advection by the per-phase mass fluxes of the
+converged flow solution, harmonic-weighted diffusion
+(phi rho_p tau, tau = S_p; cell.F90:168-201, face.F90:519-536),
+Arrhenius decay (tracer.F90:48-61), and production sinks; b has
+injection sources and the LHS history terms:
+
+  BE:   A = Al(1) - dt Ar(1);             b = Al(0) x(0) + dt br
+  BDF2: A = (1+2r) Al(1) - dt (r+1) Ar(1)
+        b = (r+1)^2 Al(0) x(0) - r^2 Al(-1) x(-1) + dt (r+1) br
+
+Rows for cells where the tracer phase is absent are replaced by
+identity with zero RHS; Dirichlet boundary (ghost) rows hold the
+boundary tracer value (flow_simulation.F90:1837-1959). The system is
+matrix-free (advection/diffusion are face gather/scatters) and solved
+with GMRES + Jacobi using an exactly assembled diagonal, replacing the
+reference's AIJ matrix + KSP gmres/bjacobi (timestepper.F90:1840-1851).
+Tracers are one-way coupled (flow -> tracer).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from waiwera_tpu.utils.interpolation import InterpolationTable, from_json \
+    as table_from_json
+
+Array = jnp.ndarray
+
+GAS_CONSTANT = 8.3144598  # J/mol/K (thermodynamics.F90:37-41)
+TC_K = 273.15
+
+
+class TracerSet:
+    """Host-side tracer definitions (setup_tracers, tracer.F90:65-140)."""
+
+    def __init__(self, cfg, eos):
+        if isinstance(cfg, dict):
+            cfg = [cfg]
+        self.names: List[str] = []
+        phase_index = []
+        decay = []
+        activation = []
+        diffusion = []
+        phase_names = [p.lower() for p in eos.phase_names]
+        default_phase = getattr(eos, "default_tracer_phase", "liquid")
+        for i, t in enumerate(cfg or []):
+            self.names.append(t.get("name", f"tracer_{i}"))
+            ph = str(t.get("phase", default_phase)).lower()
+            if ph not in phase_names:
+                raise ValueError(f"unknown tracer phase {ph!r}")
+            phase_index.append(phase_names.index(ph))
+            decay.append(float(t.get("decay", 0.0)))
+            activation.append(float(t.get("activation", 0.0)))
+            diffusion.append(float(t.get("diffusion", 0.0)))
+        self.num_tracers = len(self.names)
+        self.phase_index = np.asarray(phase_index, np.int32)
+        self.decay_constant = np.asarray(decay)
+        self.activation = np.asarray(activation)
+        self.diffusion = np.asarray(diffusion)
+
+    def decay_rate(self, temperature: Array) -> Array:
+        """[N, nt] Arrhenius decay rate (tracer.F90:48-61)."""
+        tk = temperature[:, None] + TC_K
+        return jnp.asarray(self.decay_constant) * jnp.exp(
+            -jnp.asarray(self.activation) / (GAS_CONSTANT * tk)
+        )
+
+
+class TracerResult(NamedTuple):
+    x: Array  # [N, nt]
+    al: Array  # [N, nt] balance coefficients at solve state
+    converged: Array
+    iterations: Array
+
+
+def balance_coefs(tracers: TracerSet, fluid, rock) -> Array:
+    """[N, nt]: phi S_p rho_p for each tracer's phase."""
+    p = tracers.phase_index
+    sat = fluid.saturation[:, p]
+    rho = fluid.density[:, p]
+    return rock.porosity[:, None] * sat * rho
+
+
+def solve(
+    tracers: TracerSet,
+    mesh,
+    fluid,
+    rock,
+    fluxes: Array,
+    npv: int,
+    x_last: Array,
+    al_last: Array,
+    x_last2: Array,
+    al_last2: Array,
+    c_al: Array,
+    dt_eff: Array,
+    b_hist: Array,
+    source_cell: Optional[Array],
+    source_rate: Optional[Array],
+    source_frac: Optional[Array],
+    tracer_injection: Optional[Array],
+    ghost_value: Array,
+    rtol: float = 1e-5,
+    max_iterations: int = 1000,
+) -> TracerResult:
+    """One auxiliary solve.
+
+    b_hist: the history part of b ([N, nt], method-dependent, computed
+    by the caller from al_last/x_last/al_last2/x_last2).
+    source_frac: [ns, nt] tracer-phase flow fractions at source cells.
+    tracer_injection: [ns, nt] injection rates.
+    ghost_value: [N, nt] Dirichlet values for ghost rows.
+    """
+    from waiwera_tpu.solver import krylov
+
+    n = mesh.num_cells
+    nt = tracers.num_tracers
+    cl = mesh.face_cells[:, 0]
+    cr = mesh.face_cells[:, 1]
+    area = mesh.face_area
+    d12 = jnp.where(mesh.face_distance12 > 0.0, mesh.face_distance12, 1.0)
+    vol = jnp.where(mesh.cell_volume > 0.0, mesh.cell_volume, 1.0)
+    is_ghost = mesh.is_ghost
+
+    al = balance_coefs(tracers, fluid, rock)
+    pidx = jnp.asarray(tracers.phase_index)
+    # per-face tracer-phase mass flux [F, nt] and upstream cell
+    pf = fluxes[:, npv:][:, pidx]
+    upstream = jnp.where(pf >= 0.0, cl[:, None], cr[:, None])
+    adv = pf * area[:, None]  # [F, nt] mass flow
+    # diffusion: harmonic phi rho tau (tau = S), times D / d12 * area
+    dfac_cell = (
+        rock.porosity[:, None]
+        * fluid.density[:, pidx]
+        * fluid.saturation[:, pidx]
+    )
+    f1 = dfac_cell[cl]
+    f2 = dfac_cell[cr]
+    wsum = f1 + f2
+    dfac = jnp.where(
+        jnp.abs(wsum) > 1e-30,
+        2.0 * f1 * f2 / jnp.where(jnp.abs(wsum) > 1e-30, wsum, 1.0),
+        0.0,
+    )
+    diff_k = area[:, None] * dfac * jnp.asarray(tracers.diffusion) / d12[
+        :, None
+    ]  # [F, nt]
+
+    # decay + production diagonals
+    decay_diag = -tracers.decay_rate(fluid.temperature) * al  # [N, nt]
+    prod_diag = jnp.zeros((n, nt))
+    brhs = jnp.zeros((n, nt))
+    if source_cell is not None and source_cell.shape[0] > 0:
+        producing = source_rate < 0.0
+        q_over_v = source_rate / vol[source_cell]
+        prod_contrib = jnp.where(
+            producing[:, None], source_frac * q_over_v[:, None], 0.0
+        )
+        prod_diag = prod_diag.at[source_cell].add(prod_contrib)
+        inj = jnp.where(
+            producing[:, None], 0.0,
+            tracer_injection / vol[source_cell][:, None],
+        )
+        brhs = brhs.at[source_cell].add(inj)
+
+    # tracer phase present? (fluid.phase_composition bitmask)
+    present = (
+        (fluid.phase_composition[:, None] >> pidx[None, :]) & 1
+    ) > 0
+    identity_row = (~present) | is_ghost[:, None]
+    fixed = jnp.where(is_ghost[:, None], ghost_value, 0.0)
+
+    gidx = jnp.arange(nt)
+
+    def ar_matvec(x):
+        out = (decay_diag + prod_diag) * x
+        xu = x[upstream, gidx[None, :]]  # [F, nt]
+        # advection (flow_simulation.F90:1664-1676)
+        out = out.at[cl].add(-adv * xu / vol[cl][:, None])
+        out = out.at[cr].add(adv * xu / vol[cr][:, None])
+        # diffusion (:1677-1685)
+        g = x[cr] - x[cl]
+        out = out.at[cl].add(diff_k * g / vol[cl][:, None])
+        out = out.at[cr].add(-diff_k * g / vol[cr][:, None])
+        return out
+
+    def a_matvec(x):
+        ax = c_al * al * x - dt_eff * ar_matvec(x)
+        return jnp.where(identity_row, x, ax)
+
+    b = jnp.where(identity_row, fixed, b_hist + dt_eff * brhs)
+
+    # exact diagonal for Jacobi preconditioning
+    diag_ar = decay_diag + prod_diag
+    up_is_l = upstream == cl[:, None]
+    diag_ar = diag_ar.at[cl].add(
+        jnp.where(up_is_l, -adv / vol[cl][:, None], 0.0)
+    )
+    diag_ar = diag_ar.at[cr].add(
+        jnp.where(~up_is_l, adv / vol[cr][:, None], 0.0)
+    )
+    diag_ar = diag_ar.at[cl].add(-diff_k / vol[cl][:, None])
+    diag_ar = diag_ar.at[cr].add(-diff_k / vol[cr][:, None])
+    diag = jnp.where(identity_row, 1.0, c_al * al - dt_eff * diag_ar)
+    inv_diag = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 1.0)
+
+    res = krylov.solve(
+        "gmres",
+        a_matvec,
+        b,
+        precond=lambda v: v * inv_diag,
+        rtol=rtol,
+    )
+    return TracerResult(
+        x=res.x, al=al, converged=res.converged, iterations=res.iterations
+    )
