@@ -30,4 +30,8 @@ def from_json(config: dict, thermo, relperm, capillarity, logger=None) -> EOS:
         from waiwera_tpu.eos.wge import EOSWaterGasEnergy
 
         return EOSWaterGasEnergy(config, thermo, relperm, capillarity, name)
+    if name == "wse":
+        from waiwera_tpu.eos.wse import EOSWaterSaltEnergy
+
+        return EOSWaterSaltEnergy(config, thermo, relperm, capillarity)
     raise ValueError(f"unknown EOS: {name!r}")

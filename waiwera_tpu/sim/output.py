@@ -73,6 +73,8 @@ class HDF5Output:
             return f(fluid.saturation)[:n, 1]
         if name == "liquid_saturation":
             return f(fluid.saturation)[:n, 0]
+        if name == "solid_saturation":
+            return f(fluid.saturation)[:n, 2]
         if name == "gas_partial_pressure":
             return f(fluid.partial_pressure)[:n, -1]
         if name == "water_partial_pressure":

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 Array = jnp.ndarray
 
@@ -94,39 +95,50 @@ def brine_saturation_temperature(thermo, pressure: Array, xs: Array,
         return pressure - ps, e
 
     inc = 1e-8
-    for _ in range(iterations):
+
+    def body(_, carry):
+        t, err = carry
         f0, e0 = f(t)
         f1, _ = f(t * (1.0 + inc) + inc)
         df = (f1 - f0) / (t * inc + inc)
         dt = jnp.where(jnp.abs(df) > 1e-300, -f0 / jnp.where(
             jnp.abs(df) > 1e-300, df, 1.0), 0.0)
-        t = t + dt
-        err = err | e0
+        return t + dt, err | e0
+
+    t, err = lax.fori_loop(0, iterations, body, (t, err))
     return t, err
 
 
 def halite_solubility_two_phase(thermo, pressure: Array,
-                                iterations: int = 8):
+                                iterations: int = 6):
     """Salt solubility on the brine saturation line vs total pressure
-    (salt_thermodynamics.F90:66-104)."""
-    xs = _poly(_HALITE_SOLUBILITY_TWO_PHASE, pressure / 1e7)
+    (salt_thermodynamics.F90:66-104).
 
-    def f(x):
-        t, e1 = brine_saturation_temperature(thermo, pressure, x)
-        sol, e2 = halite_solubility(t)
-        return x - sol, e1 | e2
+    Reformulated from the reference's nested root find to a single
+    Newton iteration on temperature: solve
+    P = P_brine_sat(T, solubility(T)), then return solubility(T).
+    """
+    t, err = thermo.saturation_temperature(pressure)
+
+    def f(tt):
+        sol, e1 = halite_solubility(tt)
+        ps, e2 = brine_saturation_pressure(thermo, tt, sol)
+        return pressure - ps, e1 | e2
 
     inc = 1e-8
-    err = jnp.zeros_like(pressure, bool)
-    for _ in range(iterations):
-        f0, e0 = f(xs)
-        f1, _ = f(xs * (1.0 + inc) + inc)
-        df = (f1 - f0) / (xs * inc + inc)
-        dx = jnp.where(jnp.abs(df) > 1e-300, -f0 / jnp.where(
+
+    def body(_, carry):
+        t, err = carry
+        f0, e0 = f(t)
+        f1, _ = f(t * (1.0 + inc) + inc)
+        df = (f1 - f0) / (t * inc + inc)
+        dt = jnp.where(jnp.abs(df) > 1e-300, -f0 / jnp.where(
             jnp.abs(df) > 1e-300, df, 1.0), 0.0)
-        xs = xs + dx
-        err = err | e0
-    return xs, err
+        return t + dt, err | e0
+
+    t, err = lax.fori_loop(0, iterations, body, (t, err))
+    xs, serr = halite_solubility(t)
+    return xs, err | serr
 
 
 def brine_properties(thermo, pressure: Array, temperature: Array,
