@@ -53,6 +53,33 @@ def test_salt_column(tmp_path):
         assert np.max(rel) < tol, f"{ds}: {np.max(rel)}"
 
 
+def test_salt_co2_column(tmp_path):
+    """Water+salt+CO2 column (wsce, 4 primary variables): gas
+    dissolution with salting-out, brine saturation line at the water
+    partial pressure. Reference tolerances: P 1e-2, T 2.5e-2,
+    saturations 5e-2, salt 1e-2 (test_salt_co2_column.py:81-84)."""
+    import h5py
+
+    from waiwera_tpu.utils.autough2 import read_listing
+
+    d = os.path.join(BASE, "ncg/column/run")
+    ts = run_case(tmp_path, os.path.join(d, "salt_co2_column.json"))
+    assert not ts.aborted
+    out = h5py.File(tmp_path / "salt_co2_column.h5", "r")
+    _, tab = read_listing(os.path.join(d, "salt_co2_column.listing"))
+    fields = [
+        ("fluid_pressure", "Pressure", 1e5, 1e-2),
+        ("fluid_temperature", "Temperature", 1.0, 2.5e-2),
+        ("fluid_vapour_saturation", "Gas saturati", 1.0, 5e-2),
+        ("fluid_liquid_salt_mass_fraction", "NaCl liquid", 1.0, 1e-2),
+    ]
+    for ds, ref_name, scale, tol in fields:
+        mine = out["cell_fields"][ds][-1]
+        ref = tab[ref_name][-1][1:]
+        rel = np.abs(mine - ref) / np.maximum(np.abs(ref), scale)
+        assert np.max(rel) < tol, f"{ds}: {np.max(rel)}"
+
+
 def test_salt_production(tmp_path):
     """High-rate production from brine with separator: boiling raises
     salt concentration near the well."""

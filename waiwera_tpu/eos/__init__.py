@@ -34,4 +34,10 @@ def from_json(config: dict, thermo, relperm, capillarity, logger=None) -> EOS:
         from waiwera_tpu.eos.wse import EOSWaterSaltEnergy
 
         return EOSWaterSaltEnergy(config, thermo, relperm, capillarity)
+    if name in ("wsge", "wsae", "wsce"):
+        from waiwera_tpu.eos.wsge import EOSWaterSaltGasEnergy
+
+        return EOSWaterSaltGasEnergy(
+            config, thermo, relperm, capillarity, name
+        )
     raise ValueError(f"unknown EOS: {name!r}")

@@ -57,24 +57,38 @@ def invert_blocks(a: Array) -> Array:
         )
         return adj * inv_det[..., None, None]
     if b == 4:
-        # blockwise 2x2 inversion via Schur complement:
-        # [[A, B], [C, D]]^-1 with S = D - C A^-1 B
-        A = a[..., :2, :2]
-        B = a[..., :2, 2:]
-        C = a[..., 2:, :2]
-        D = a[..., 2:, 2:]
-        Ainv = invert_blocks(A)
-        CAinv = C @ Ainv
-        S = D - CAinv @ B
-        Sinv = invert_blocks(S)
-        AinvB = Ainv @ B
-        top_left = Ainv + AinvB @ Sinv @ CAinv
-        top_right = -AinvB @ Sinv
-        bot_left = -Sinv @ CAinv
-        bot_right = Sinv
-        top = jnp.concatenate([top_left, top_right], axis=-1)
-        bot = jnp.concatenate([bot_left, bot_right], axis=-1)
-        return jnp.concatenate([top, bot], axis=-2)
+        # full adjugate/determinant (Schur on a fixed sub-block fails
+        # when that sub-block is singular, e.g. wsge salt rows whose
+        # P/T derivatives vanish)
+        def minor3(rows, cols):
+            sub = a[..., rows, :][..., :, cols]
+            return (
+                sub[..., 0, 0] * (sub[..., 1, 1] * sub[..., 2, 2]
+                                  - sub[..., 1, 2] * sub[..., 2, 1])
+                - sub[..., 0, 1] * (sub[..., 1, 0] * sub[..., 2, 2]
+                                    - sub[..., 1, 2] * sub[..., 2, 0])
+                + sub[..., 0, 2] * (sub[..., 1, 0] * sub[..., 2, 1]
+                                    - sub[..., 1, 1] * sub[..., 2, 0])
+            )
+
+        idx = [0, 1, 2, 3]
+        cof = [[None] * 4 for _ in range(4)]
+        for i in range(4):
+            for j in range(4):
+                rows = [r for r in idx if r != i]
+                cols = [c for c in idx if c != j]
+                cof[i][j] = ((-1.0) ** (i + j)) * minor3(rows, cols)
+        det = sum(a[..., 0, j] * cof[0][j] for j in range(4))
+        inv_det = 1.0 / det
+        # adjugate = transpose of cofactor matrix
+        adj = jnp.stack(
+            [
+                jnp.stack([cof[i][j] for i in range(4)], axis=-1)
+                for j in range(4)
+            ],
+            axis=-2,
+        )
+        return adj * inv_det[..., None, None]
     raise NotImplementedError(f"block size {b} > 4")
 
 

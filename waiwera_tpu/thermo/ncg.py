@@ -62,6 +62,21 @@ class NCG:
         tk = t + TC_K
         return -1.0e3 * GAS_CONSTANT * tk * tk * dlnh / self.molecular_weight
 
+    def henrys_constant_salt(self, t, xs):
+        """Henry's constant with salting-out correction
+        (ncg_*_henrys_constant_salt): H_salt = H0 * 10^(m kb(T))."""
+        raise NotImplementedError
+
+    def henrys_derivative_salt(self, t, xs):
+        raise NotImplementedError
+
+    def energy_solution_salt(self, t, xs):
+        """Energy of solution in brine
+        (ncg_energy_solution_salt)."""
+        dlnh = self.henrys_derivative_salt(t, xs)
+        tk = t + TC_K
+        return -1.0e3 * GAS_CONSTANT * tk * tk * dlnh / self.molecular_weight
+
     def partial_pressure_of(self, t, total_density, xg):
         tk = t + TC_K
         gas_density = total_density * xg
@@ -152,6 +167,37 @@ class AirNCG(NCG):
             out = out + w * p0 * dhinv / (h * _TSCALE)
         return out
 
+    _HENRY_SALT = np.array([
+        [0.183369, -0.236905, 0.242438, -7.30134e-2, 8.58723e-3],
+        [0.16218, -1.16909e-1, 5.55185e-2, -8.75443e-3, 9.91567e-4],
+    ])  # per constituent (N2, O2), ncg_air_thermodynamics.F90:27-34
+
+    def henrys_constant_salt(self, t, xs):
+        from waiwera_tpu.thermo.salt import salt_mole_fraction
+
+        hs = self._constituent_henry(t)
+        m = salt_mole_fraction(xs)
+        out = 0.0
+        for w, h, kbc in zip(self._WEIGHT, hs, self._HENRY_SALT):
+            kb = _poly(kbc, t / _TSCALE)
+            out = out + w * h * 10.0 ** (m * kb)
+        return out
+
+    def henrys_derivative_salt(self, t, xs):
+        from waiwera_tpu.thermo.salt import salt_mole_fraction
+
+        hs = self._constituent_henry(t)
+        m = salt_mole_fraction(xs)
+        out = 0.0
+        for w, p0, dcoef, h, kbc in zip(
+            self._WEIGHT, self._HENRY_P0, self._henry_deriv, hs,
+            self._HENRY_SALT,
+        ):
+            d0 = 1.0e5 * _poly(dcoef, t / _TSCALE) / (h * _TSCALE)
+            dkb = _poly(_poly_deriv(kbc), t / _TSCALE) / _TSCALE
+            out = out + w * (d0 + np.log(10.0) * m * dkb)
+        return out
+
     def mixture_viscosity(self, water_visc, t, pg, xg, phase):
         """Hirschfelder et al. kinetic-theory mixture viscosity
         (ncg_air_thermodynamics.F90:260-338)."""
@@ -240,6 +286,24 @@ class CO2NCG(NCG):
         return (
             1.0e8 * _poly(self._henry_deriv, t / _TSCALE) / (h * _TSCALE)
         )
+
+    _HENRY_SALT = np.array([
+        1.19784e-1, -7.17823e-2, 4.93854e-2, -1.03826e-2, 1.08233e-3,
+    ])  # ncg_co2_thermodynamics.F90:18-21
+
+    def henrys_constant_salt(self, t, xs):
+        from waiwera_tpu.thermo.salt import salt_mole_fraction
+
+        m = salt_mole_fraction(xs)
+        kb = _poly(self._HENRY_SALT, t / _TSCALE)
+        return self.henrys_constant(t) * 10.0 ** (m * kb)
+
+    def henrys_derivative_salt(self, t, xs):
+        from waiwera_tpu.thermo.salt import salt_mole_fraction
+
+        m = salt_mole_fraction(xs)
+        dkb = _poly(_poly_deriv(self._HENRY_SALT), t / _TSCALE) / _TSCALE
+        return self.henrys_derivative(t) + np.log(10.0) * m * dkb
 
     def gas_viscosity(self, pg, t):
         err = pg > 300.0e5
