@@ -84,14 +84,28 @@ class Simulation:
 
             set_gravity(mesh, self._resolve_gravity(config, mesh.dim))
 
+        # zones (zone.F90:37-80; box / cell-array / combine)
+        self.zones = self._setup_zones(config, mesh)
+
+        # MINC dual porosity: append matrix cells (must precede
+        # boundaries; mesh.F90 setup_minc_dm)
+        mesh_cfg = config.get("mesh")
+        minc_cfg = (
+            mesh_cfg.get("minc") if isinstance(mesh_cfg, dict) else None
+        )
+        if minc_cfg:
+            from waiwera_tpu.mesh.minc import apply_minc, parse_minc
+
+            self.minc_zones = parse_minc(minc_cfg, self.zones)
+            apply_minc(mesh, self.minc_zones)
+        else:
+            self.minc_zones = []
+
         # boundaries add ghost cells (must precede rock/initial setup)
         add_boundaries(mesh, config.get("boundaries", []) or [], npv)
 
         self.mesh_dev = mesh_arrays(mesh)
         n = mesh.num_cells
-
-        # zones (zone.F90:37-80; box / cell-array / combine)
-        self.zones = self._setup_zones(config, mesh)
 
         # rocks
         self.rock = self._setup_rock(rock_cfg, mesh)
@@ -223,17 +237,25 @@ class Simulation:
                 if ztype == "array":
                     cells = np.asarray(spec.get("cells", []), np.int64)
                 elif ztype == "combine":
-                    plus = [
-                        z for z in np.atleast_1d(spec.get("+", []))
-                    ]
-                    minus = [
-                        z for z in np.atleast_1d(spec.get("-", []))
-                    ]
+                    def names_of(v):
+                        if v is None:
+                            return []
+                        return [
+                            z for z in np.atleast_1d(v) if z is not None
+                        ]
+
+                    plus = names_of(spec.get("+"))
+                    minus = names_of(spec.get("-"))
                     if not all(z in zones for z in plus + minus):
                         continue
-                    sel = np.zeros(mesh.num_interior_cells, bool)
-                    for z in plus:
-                        sel[zones[z]] = True
+                    if plus or "+" in spec:
+                        sel = np.zeros(mesh.num_interior_cells, bool)
+                        for z in plus:
+                            sel[zones[z]] = True
+                    else:
+                        # '-' only: start from all cells (zone.F90
+                        # combine semantics)
+                        sel = np.ones(mesh.num_interior_cells, bool)
                     for z in minus:
                         sel[zones[z]] = False
                     cells = np.flatnonzero(sel)
@@ -272,9 +294,11 @@ class Simulation:
         for rt in rock_cfg.get("types", []) or []:
             if "zones" in rt:
                 cells = self._zone_cells(rt["zones"])
+            elif "cells" in rt:
+                # an explicitly empty list assigns no cells (the type
+                # may still be referenced by MINC fracture/matrix rock)
+                cells = np.asarray(rt["cells"], dtype=np.int64)
             else:
-                cells = np.asarray(rt.get("cells", []), dtype=np.int64)
-            if len(cells) == 0:
                 cells = np.arange(mesh.num_interior_cells)
             k = rt.get("permeability", DEFAULT_PERMEABILITY)
             k = np.atleast_1d(np.asarray(k, dtype=np.float64))
@@ -290,6 +314,35 @@ class Simulation:
             poro[cells] = rt.get("porosity", DEFAULT_POROSITY)
             dens[cells] = rt.get("density", DEFAULT_ROCK_DENSITY)
             sph[cells] = rt.get("specific_heat", DEFAULT_SPECIFIC_HEAT)
+        # MINC fracture/matrix rock types by name
+        # (mesh_setup_minc_rock_properties)
+        by_name = {
+            rt.get("name", ""): rt
+            for rt in rock_cfg.get("types", []) or []
+        }
+        for cells, name in getattr(mesh, "minc_rock", []):
+            rt = by_name.get(name)
+            if rt is None:
+                raise ValueError(f"unknown MINC rock type {name!r}")
+            k = np.atleast_1d(
+                np.asarray(
+                    rt.get("permeability", DEFAULT_PERMEABILITY),
+                    dtype=np.float64,
+                )
+            )
+            if len(k) < 3:
+                k = np.concatenate([k, np.full(3 - len(k), k[-1])])
+            perm[cells] = k
+            wetk[cells] = rt.get(
+                "wet_conductivity", DEFAULT_HEAT_CONDUCTIVITY
+            )
+            dryk[cells] = rt.get(
+                "dry_conductivity", DEFAULT_HEAT_CONDUCTIVITY
+            )
+            poro[cells] = rt.get("porosity", DEFAULT_POROSITY)
+            dens[cells] = rt.get("density", DEFAULT_ROCK_DENSITY)
+            sph[cells] = rt.get("specific_heat", DEFAULT_SPECIFIC_HEAT)
+
         # ghost cells inherit the attached interior cell's rock so
         # harmonic face averages see interior properties
         for b in mesh.boundaries:
@@ -321,17 +374,28 @@ class Simulation:
         region = np.full(n, self.eos.default_region, dtype=np.int32)
         if "filename" in ic and ic["filename"]:
             p, r = self._initial_from_file(ic, mesh)
-            primary[: mesh.num_interior_cells] = p
-            region[: mesh.num_interior_cells] = r
+            primary[: len(p)] = p
+            region[: len(r)] = r
         if "primary" in ic:
             p = np.asarray(ic["primary"], dtype=np.float64)
             if p.ndim == 1:
                 primary[: mesh.num_interior_cells] = p
             else:
-                primary[: mesh.num_interior_cells] = p
+                primary[: len(p)] = p
         if "region" in ic:
             r = np.asarray(ic["region"], dtype=np.int32)
-            region[: mesh.num_interior_cells] = r
+            if r.ndim == 0:
+                region[: mesh.num_interior_cells] = r
+            else:
+                region[: len(r)] = r
+        # MINC matrix cells inherit their fracture cell's initial
+        # state (initial.F90:976+)
+        lvl = getattr(mesh, "minc_level", None)
+        if lvl is not None and (lvl > 0).any():
+            par = mesh.minc_parent
+            matrix = lvl > 0
+            primary[np.flatnonzero(matrix)] = primary[par[matrix]]
+            region[np.flatnonzero(matrix)] = region[par[matrix]]
         # boundary ghost rows
         for b in mesh.boundaries:
             primary[b.cells] = b.primary
