@@ -98,7 +98,9 @@ def from_json(spec: dict | None) -> CapillaryPressure:
     (capillary_pressure.F90:380-453)."""
     if not spec:
         return Zero()
-    kind = spec.get("type", "zero").lower()
+    kind = spec.get("type", "zero").lower().replace(" ", "_").replace(
+        "-", "_"
+    )
     if kind == "zero":
         return Zero()
     if kind == "linear":
