@@ -89,3 +89,51 @@ def test_minc_doublet(tmp_path, case):
     )
     for k, v in errs.items():
         assert v < 1e-2, f"{case} {k}: {v}"
+
+
+def test_minc_production3d(tmp_path):
+    """3-D MINC production model, base case: 5x5x5 grid + 2-level MINC
+    zone, well on deliverability with time-dependent productivity index
+    and a steam flow limiter (test_minc_3d.py:128-145, tol 1e-2)."""
+    import h5py
+
+    from waiwera_tpu.utils.autough2 import read_listing
+
+    ts = run_case(
+        tmp_path, os.path.join(BASE, "production3d/run/minc_3d_base.json")
+    )
+    assert not ts.aborted
+    out = h5py.File(tmp_path / "minc_3d_base.h5", "r")
+    t_mine = out["time"][:, 0]
+    listing = os.path.join(BASE, "production3d/run/minc_3d_base.listing")
+    t_ref, tab = read_listing(listing)
+    off, n = 25, 161  # 25 atmosphere blocks; 125 cells + 36 MINC cells
+    for ds, ref_name, scale in [
+        ("fluid_pressure", "Pressure", 1e5),
+        ("fluid_temperature", "Temperature", 1.0),
+        ("fluid_vapour_saturation", "Vapour saturation", 1.0),
+    ]:
+        m = out["cell_fields"][ds][:]
+        r = tab[ref_name][:, off : off + n]
+        # final-time field over all cells (FieldWithinTolTC tol 1e-2)
+        mi = np.array(
+            [np.interp(t_ref[-1], t_mine, m[:, c]) for c in range(n)]
+        )
+        err = np.max(np.abs(mi - r[-1])) / max(np.max(np.abs(r[-1])), scale)
+        assert err < 1e-2, f"minc3d {ref_name} field: {err}"
+        # history at the production cell
+        h = np.interp(t_ref, t_mine, m[:, 50])
+        rh = r[:, 50]
+        errh = np.max(np.abs(h - rh)) / max(np.max(np.abs(rh)), scale)
+        assert errh < 1e-2, f"minc3d {ref_name} history: {errh}"
+    # deliverability well (source index 25): rate and enthalpy histories
+    tg, gtab = read_listing(listing, table="generation")
+    for ds, ref_name, scale in [
+        ("source_enthalpy", "Enthalpy", 1e3),
+        ("source_rate", "Generation rate", 1.0),
+    ]:
+        mine = out["source_fields"][ds][:, 25]
+        rr = gtab[ref_name][:, 25]
+        h = np.interp(tg, t_mine, mine)
+        err = np.max(np.abs(h - rr)) / max(np.max(np.abs(rr)), scale)
+        assert err < 1e-2, f"minc3d {ref_name}: {err}"

@@ -1,0 +1,178 @@
+"""Host-side mesh partitioning for multi-device runs.
+
+Counterpart of the reference's DMPlexDistribute + PetscPartitioner
+domain decomposition with overlap-1 halos (mesh.F90:40,143-171): cells
+are split into near-equal blocks by recursive coordinate bisection of
+their centroids, every face is replicated onto each device owning one
+of its cells, and halo routing tables are precomputed so the exchange
+runs as one all_gather over the device mesh axis.
+
+All plan arrays are stacked with a leading device axis [D, ...] and
+padded to per-device maxima, so shapes are static under shard_map.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from waiwera_tpu.mesh.core import Mesh
+
+
+class PartitionPlan(NamedTuple):
+    """Static routing tables (host numpy, device axis leading)."""
+
+    num_devices: int
+    n_local: int  # padded per-device local cell count (owned + halo)
+    n_owned: np.ndarray  # [D] real owned-cell counts
+    num_send: int  # padded send-buffer length S
+    # local slot -> global cell (pad slots point at cell 0, masked out)
+    local_cells: np.ndarray  # [D, n_local] int32
+    owned_mask: np.ndarray  # [D, n_local] bool
+    # faces replicated per device, local endpoint indices
+    face_ids: np.ndarray  # [D, f_local] int32 global face ids
+    face_cells_local: np.ndarray  # [D, f_local, 2] int32
+    face_mask: np.ndarray  # [D, f_local] bool
+    # halo exchange: pack owned slots send_idx into a send buffer,
+    # all_gather over devices, then pull recv_src out of the flat
+    # [D * S] gathered buffer into the halo slots [n_owned_pad:].
+    send_idx: np.ndarray  # [D, S] int32 local slots to send
+    recv_src: np.ndarray  # [D, n_halo] int32 flat gathered index
+    n_owned_pad: int  # halo slots start here in every device
+    n_halo: int  # padded halo count
+    # owner device + owner-local slot of every global cell (for
+    # scattering global arrays to devices and gathering results back)
+    cell_device: np.ndarray  # [N] int32
+    cell_slot: np.ndarray  # [N] int32
+
+
+def _rcb(centroids: np.ndarray, ids: np.ndarray, num_parts: int):
+    """Recursive coordinate bisection: split ids into num_parts
+    near-equal groups by medians along the longest bounding-box axis."""
+    if num_parts == 1:
+        return [ids]
+    n_left_parts = num_parts // 2
+    frac = n_left_parts / num_parts
+    span = centroids[ids].max(axis=0) - centroids[ids].min(axis=0)
+    axis = int(np.argmax(span))
+    order = ids[np.argsort(centroids[ids, axis], kind="stable")]
+    k = int(round(len(ids) * frac))
+    k = min(max(k, 1), len(ids) - 1)
+    return _rcb(centroids, order[:k], n_left_parts) + _rcb(
+        centroids, order[k:], num_parts - n_left_parts
+    )
+
+
+def build_partition(mesh: Mesh, num_devices: int) -> PartitionPlan:
+    n = mesh.num_cells
+    face_cells = np.asarray(mesh.face_cells, np.int64)
+    nf = len(face_cells)
+    centroids = np.asarray(mesh.cell_centroid, float)[:, : max(mesh.dim, 1)]
+
+    # partition interior cells by RCB; Dirichlet ghost cells follow the
+    # interior cell across their boundary face (mesh.F90:193-224 ghosts
+    # live with their neighbour's rank)
+    is_ghost = np.asarray(mesh.is_ghost, bool)
+    interior = np.nonzero(~is_ghost)[0]
+    part = np.zeros(n, np.int64)
+    groups = _rcb(centroids, interior, num_devices)
+    for d, ids in enumerate(groups):
+        part[ids] = d
+    ghosts = np.nonzero(is_ghost)[0]
+    if len(ghosts):
+        # each ghost cell appears in faces; take its first neighbour
+        owner = np.full(n, -1, np.int64)
+        for side in (0, 1):
+            g = face_cells[:, side]
+            o = face_cells[:, 1 - side]
+            sel = is_ghost[g] & ~is_ghost[o]
+            owner[g[sel]] = o[sel]
+        has = owner[ghosts] >= 0
+        part[ghosts[has]] = part[owner[ghosts[has]]]
+
+    # faces per device: replicate onto every device owning an endpoint
+    part_l = part[face_cells[:, 0]]
+    part_r = part[face_cells[:, 1]]
+
+    locals_, halos, faces = [], [], []
+    for d in range(num_devices):
+        own = np.nonzero(part == d)[0]
+        fsel = np.nonzero((part_l == d) | (part_r == d))[0]
+        ends = np.unique(face_cells[fsel].ravel())
+        halo = ends[part[ends] != d]
+        locals_.append(own)
+        halos.append(halo)
+        faces.append(fsel)
+
+    n_owned = np.array([len(o) for o in locals_], np.int64)
+    n_owned_pad = int(n_owned.max()) if num_devices else 0
+    n_halo = max((len(h) for h in halos), default=0)
+    n_halo = max(n_halo, 1)  # keep exchange shapes non-empty
+    f_local = max((len(f) for f in faces), default=0)
+    f_local = max(f_local, 1)
+    n_local = n_owned_pad + n_halo
+
+    local_cells = np.zeros((num_devices, n_local), np.int64)
+    owned_mask = np.zeros((num_devices, n_local), bool)
+    face_ids = np.zeros((num_devices, f_local), np.int64)
+    face_cells_local = np.zeros((num_devices, f_local, 2), np.int64)
+    face_mask = np.zeros((num_devices, f_local), bool)
+    cell_device = np.zeros(n, np.int64)
+    cell_slot = np.zeros(n, np.int64)
+
+    g2l = np.full((num_devices, n), -1, np.int64)
+    for d in range(num_devices):
+        own, halo, fsel = locals_[d], halos[d], faces[d]
+        local_cells[d, : len(own)] = own
+        local_cells[d, n_owned_pad : n_owned_pad + len(halo)] = halo
+        owned_mask[d, : len(own)] = True
+        g2l[d, own] = np.arange(len(own))
+        g2l[d, halo] = n_owned_pad + np.arange(len(halo))
+        cell_device[own] = d
+        cell_slot[own] = np.arange(len(own))
+        face_ids[d, : len(fsel)] = fsel
+        face_cells_local[d, : len(fsel)] = g2l[d][face_cells[fsel]]
+        face_mask[d, : len(fsel)] = True
+        # pad faces point at slot 0 on both ends (zero-area, masked)
+        face_cells_local[d, len(fsel) :] = 0
+
+    # send buffers: device o sends each owned cell that is in someone's
+    # halo exactly once; receivers index the flat gathered buffer
+    send_lists = [[] for _ in range(num_devices)]
+    send_pos = {}  # (owner, global cell) -> position in owner's buffer
+    for d in range(num_devices):
+        for g in halos[d]:
+            o = part[g]
+            key = (o, g)
+            if key not in send_pos:
+                send_pos[key] = len(send_lists[o])
+                send_lists[o].append(g2l[o, g])
+    num_send = max((len(s) for s in send_lists), default=0)
+    num_send = max(num_send, 1)
+    send_idx = np.zeros((num_devices, num_send), np.int64)
+    for d, s in enumerate(send_lists):
+        send_idx[d, : len(s)] = s
+    recv_src = np.zeros((num_devices, n_halo), np.int64)
+    for d in range(num_devices):
+        for i, g in enumerate(halos[d]):
+            o = part[g]
+            recv_src[d, i] = o * num_send + send_pos[(o, g)]
+
+    return PartitionPlan(
+        num_devices=num_devices,
+        n_local=n_local,
+        n_owned=n_owned,
+        num_send=num_send,
+        local_cells=local_cells.astype(np.int32),
+        owned_mask=owned_mask,
+        face_ids=face_ids.astype(np.int32),
+        face_cells_local=face_cells_local.astype(np.int32),
+        face_mask=face_mask,
+        send_idx=send_idx.astype(np.int32),
+        recv_src=recv_src.astype(np.int32),
+        n_owned_pad=n_owned_pad,
+        n_halo=n_halo,
+        cell_device=cell_device.astype(np.int32),
+        cell_slot=cell_slot.astype(np.int32),
+    )

@@ -30,12 +30,8 @@ class KrylovResult(NamedTuple):
     converged: Array  # bool
 
 
-def _dot(a: Array, b: Array) -> Array:
-    return jnp.vdot(a, b)
-
-
-def _norm(a: Array) -> Array:
-    return jnp.sqrt(jnp.real(_dot(a, a)))
+def _identity(x: Array) -> Array:
+    return x
 
 
 def bicgstab(
@@ -46,10 +42,23 @@ def bicgstab(
     rtol: float = DEFAULT_RTOL,
     atol: float = DEFAULT_ATOL,
     max_iterations: int = 1000,
+    reduce_sum: Callable[[Array], Array] = _identity,
 ) -> KrylovResult:
-    """Right-preconditioned BiCGStab for A x = b."""
+    """Right-preconditioned BiCGStab for A x = b.
+
+    reduce_sum: combines partial reductions across devices (lax.psum
+    under shard_map; identity on a single device). All dot products /
+    norms are local contractions followed by reduce_sum, so the solver
+    runs unchanged over domain-decomposed vectors.
+    """
     if precond is None:
         precond = lambda v: v
+
+    def _dot(a: Array, b_: Array) -> Array:
+        return reduce_sum(jnp.vdot(a, b_))
+
+    def _norm(a: Array) -> Array:
+        return jnp.sqrt(jnp.real(_dot(a, a)))
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
     r0 = r
@@ -102,15 +111,23 @@ def gmres(
     atol: float = DEFAULT_ATOL,
     restart: int = 30,
     max_restarts: int = 40,
+    reduce_sum: Callable[[Array], Array] = _identity,
 ) -> KrylovResult:
     """Right-preconditioned restarted GMRES(m).
 
     Arnoldi with two-pass classical Gram-Schmidt (CGS2): fully
     vectorised over the basis, which maps to batched matmuls on TPU
-    rather than a sequential MGS scan.
+    rather than a sequential MGS scan. reduce_sum as in bicgstab: all
+    basis contractions are local matmuls + one cross-device reduction.
     """
     if precond is None:
         precond = lambda v: v
+
+    def _dot(a: Array, b_: Array) -> Array:
+        return reduce_sum(jnp.vdot(a, b_))
+
+    def _norm(a: Array) -> Array:
+        return jnp.sqrt(jnp.real(_dot(a, a)))
     x = jnp.zeros_like(b) if x0 is None else x0
     shape = b.shape
     n = b.size
@@ -136,13 +153,14 @@ def gmres(
             V, H, brk = carry
             v_j = unflat(V[j])
             w = flat(matvec(precond(v_j)))
-            # CGS2 against the full basis (rows > j are zero)
-            h1 = V @ w  # [m+1]
+            # CGS2 against the full basis (rows > j are zero);
+            # V @ w is a local contraction, reduced across devices
+            h1 = reduce_sum(V @ w)  # [m+1]
             w = w - V.T @ h1
-            h2 = V @ w
+            h2 = reduce_sum(V @ w)
             w = w - V.T @ h2
             h = h1 + h2
-            wnorm = jnp.linalg.norm(w)
+            wnorm = jnp.sqrt(reduce_sum(w @ w))
             H_new = H.at[:, j].set(h)
             H_new = H_new.at[j + 1, j].set(wnorm)
             V_new = V.at[j + 1].set(

@@ -58,12 +58,6 @@ class NewtonResult(NamedTuple):
     linear_iterations: Array  # int32 total
 
 
-def _max_scaled(v: Array, scale: Array, tol: float):
-    """max |v| / max(|scale|, tol) (vec_max_pointwise_abs_scale)."""
-    s = jnp.maximum(jnp.abs(scale), tol)
-    return jnp.max(jnp.abs(v) / s)
-
-
 def newton_solve(
     system: System,
     y0: Array,
@@ -83,15 +77,25 @@ def newton_solve(
     (for transition fallbacks).
     """
     eos = system.eos
-    interior = ~system.mesh.is_ghost
+    interior = system.interior_mask
 
     def any_err(e):
-        return jnp.any(e & interior)
+        return system.reduce_any(jnp.any(e & interior))
+
+    def _max_scaled(v: Array, scale: Array, tol: float):
+        """max |v| / max(|scale|, tol) over interior dofs
+        (vec_max_pointwise_abs_scale), reduced across devices."""
+        s = jnp.maximum(jnp.abs(scale), tol)
+        vals = jnp.where(interior[:, None], jnp.abs(v) / s, 0.0)
+        return system.reduce_max(jnp.max(vals))
+
+    def _fnorm(r: Array):
+        return jnp.sqrt(system.reduce_sum(jnp.sum(r * r)))
 
     r0, L0, _, err0 = system.residual(
         y0, region0, rock, coeffs, t0, t1
     )
-    fnorm0 = jnp.linalg.norm(r0)
+    fnorm0 = _fnorm(r0)
     maxres0 = _max_scaled(r0, lhs_scale, params.function_atol)
 
     class _State(NamedTuple):
@@ -137,13 +141,16 @@ def newton_solve(
         )
         lin = krylov.solve(
             params.linear_method,
-            mat.matvec,
+            system.make_matvec(mat),
             r,
             precond=pc,
             rtol=params.linear_rtol,
             max_iterations=params.linear_max_iterations,
+            reduce_sum=system.reduce_sum,
         )
-        dy = lin.x
+        # halo slots of the Krylov solution are not solved locally;
+        # pull them from their owner before the pointwise update
+        dy = system.sync(lin.x)
         y_raw = s.y - dy
 
         # post-linesearch: transitions + primary bounds
@@ -156,9 +163,12 @@ def newton_solve(
             new_primary, new_region
         )
         y_new = eos.scale(new_primary, new_region)
-        # ghost rows never move
-        y_new = jnp.where(interior[:, None], y_new, s.y)
-        new_region = jnp.where(interior, new_region, s.region)
+        # ghost rows never move (halo copies of interior cells DO
+        # update, consistently with their owner: same pure per-cell
+        # transition on synced inputs)
+        update = system.update_mask
+        y_new = jnp.where(update[:, None], y_new, s.y)
+        new_region = jnp.where(update, new_region, s.region)
 
         # residual at the updated iterate (custom linesearch recompute)
         fluid, cond_, perr = system.derived_state(y_new, new_region, rock)
@@ -170,7 +180,7 @@ def newton_solve(
         it = s.it + 1
         maxres = _max_scaled(r_new, lhs_scale, params.function_atol)
         maxupd = _max_scaled(s.y - y_new, y_new, params.update_atol)
-        fnorm = jnp.linalg.norm(r_new)
+        fnorm = _fnorm(r_new)
 
         failed = (
             s.failed

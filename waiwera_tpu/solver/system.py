@@ -61,6 +61,40 @@ class System:
         self.pos_lr = jnp.asarray(pos_lr, jnp.int32)
         self.pos_rl = jnp.asarray(pos_rl, jnp.int32)
 
+    # -- parallel hooks (overridden by parallel.spmd.LocalSystem) -----
+    # On a single device these are identities; under shard_map they
+    # become XLA collectives / halo exchanges, so newton_solve and the
+    # Krylov solvers run unchanged over domain-decomposed arrays.
+
+    @property
+    def interior_mask(self) -> Array:
+        """Rows that count in norms/reductions (non-ghost; distributed:
+        owned and non-ghost)."""
+        return ~self.mesh.is_ghost
+
+    @property
+    def update_mask(self) -> Array:
+        """Rows whose primaries move in a Newton update (non-ghost,
+        including halo copies of remote interior cells)."""
+        return ~self.mesh.is_ghost
+
+    def reduce_sum(self, x: Array) -> Array:
+        return x
+
+    def reduce_max(self, x: Array) -> Array:
+        return x
+
+    def reduce_any(self, x: Array) -> Array:
+        return x
+
+    def sync(self, x):
+        """Halo exchange (PetscSF DMGlobalToLocal analogue); identity
+        on a single device."""
+        return x
+
+    def make_matvec(self, mat):
+        return mat.matvec
+
     # -- state chains -------------------------------------------------
 
     def derived_state(self, y: Array, region: Array, rock: RockState):
