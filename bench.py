@@ -64,7 +64,12 @@ def main():
     nz = int(os.environ.get("BENCH_NZ", 16))
     sim, n = build_sim(nx, ny, nz)
     npv = sim.eos.num_primary_variables
-    params = NewtonParams(max_iterations=8, min_iterations=1)
+    # inner Krylov precision: f32 is TPU-native (f64 is software
+    # -emulated); Newton residual/Jacobian/convergence stay f64
+    linear_dtype = os.environ.get("BENCH_LINEAR_DTYPE", "float32")
+    params = NewtonParams(
+        max_iterations=8, min_iterations=1, linear_dtype=linear_dtype
+    )
     step = sim.make_step_fn(params, "beuler")
     lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)
 

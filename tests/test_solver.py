@@ -102,3 +102,161 @@ def test_diag_blocks():
     dd = dense_of(mat)
     for i in range(5):
         np.testing.assert_allclose(d[i], dd[2 * i : 2 * i + 2, 2 * i : 2 * i + 2])
+
+
+def test_ell_matvec_matches_bsr():
+    from waiwera_tpu.ops import ell
+
+    mat, _ = laplacian_1d(23, b=3)
+    es = ell.ell_structure(mat.structure)
+    m = ell.to_ell(mat, es)
+    x = np.random.default_rng(7).standard_normal((23, 3))
+    y_ell = np.asarray(m.matvec(jnp.asarray(x)))
+    y_bsr = np.asarray(mat.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y_ell, y_bsr, rtol=1e-13, atol=1e-13)
+
+
+def test_ell_matvec_2d_mesh_structure():
+    """Unstructured-ish pattern: 2D grid + diagonal couplings."""
+    from waiwera_tpu.ops import ell
+
+    n = 30
+    rng = np.random.default_rng(11)
+    faces = []
+    for i in range(n):
+        for j in rng.choice(n, size=3, replace=False):
+            if i != j:
+                faces.append((min(i, j), max(i, j)))
+    faces = np.unique(np.array(faces), axis=0)
+    structure = bsr.build_structure(n, faces, 2)
+    data = rng.standard_normal((structure.indices.shape[0], 2, 2))
+    mat = bsr.BSRMatrix(structure=structure, data=jnp.asarray(data))
+    es = ell.ell_structure(structure)
+    m = ell.to_ell(mat, es)
+    x = rng.standard_normal((n, 2))
+    np.testing.assert_allclose(
+        np.asarray(m.matvec(jnp.asarray(x))),
+        np.asarray(mat.matvec(jnp.asarray(x))),
+        rtol=1e-13,
+        atol=1e-13,
+    )
+
+
+def test_bicgstab_float32():
+    """Mixed-precision inner solve: f32 Krylov reaches its rtol."""
+    from waiwera_tpu.ops import ell
+
+    mat, _ = laplacian_1d(64, b=2)
+    es = ell.ell_structure(mat.structure)
+    m32 = ell.to_ell(mat, es, dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    xstar = rng.standard_normal((64, 2))
+    b64 = mat.matvec(jnp.asarray(xstar))
+    pc = precond.block_jacobi(mat, dtype=jnp.float32)
+    res = krylov.bicgstab(
+        m32.matvec, b64.astype(jnp.float32), precond=pc, rtol=1e-5
+    )
+    assert res.x.dtype == jnp.float32
+    assert bool(res.converged)
+    # true residual in f64 honours the f32 solve tolerance
+    r = np.asarray(b64) - np.asarray(
+        mat.matvec(jnp.asarray(np.asarray(res.x), jnp.float64))
+    )
+    assert np.linalg.norm(r) <= 5e-5 * np.linalg.norm(np.asarray(b64))
+
+
+def test_gmres_float32():
+    from waiwera_tpu.ops import ell
+
+    mat, _ = laplacian_1d(32, b=2)
+    es = ell.ell_structure(mat.structure)
+    m32 = ell.to_ell(mat, es, dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    xstar = rng.standard_normal((32, 2))
+    b64 = mat.matvec(jnp.asarray(xstar))
+    res = krylov.gmres(
+        m32.matvec, b64.astype(jnp.float32), rtol=1e-5, restart=16
+    )
+    assert res.x.dtype == jnp.float32
+    assert bool(res.converged)
+
+
+def _rect_system(nx=6, ny=5, nz=4):
+    from waiwera_tpu.mesh.rect import rectangular_mesh
+    from waiwera_tpu.sim.simulation import Simulation
+
+    mesh = rectangular_mesh(
+        [10.0] * nx, [10.0] * ny, [5.0] * nz, origin=[0, 0, -100.0]
+    )
+    config = {
+        "eos": {"name": "we"},
+        "initial": {"primary": [2.0e6, 120.0], "region": 1},
+        "boundaries": [
+            {
+                "primary": [2.0e6, 120.0],
+                "region": 1,
+                "faces": {
+                    "cells": list(range(nx * ny)),
+                    "normal": [0.0, 0.0, 1.0],
+                },
+            }
+        ],
+    }
+    return Simulation(config, mesh=mesh)
+
+
+def test_dia_detection_and_matvec_rect_mesh():
+    """On a 3D rect mesh the Jacobian must be detected as banded and
+    DIA/ELL/BSR matvecs must agree."""
+    import jax
+    from waiwera_tpu.ops import dia, ell
+    from waiwera_tpu.solver.system import MethodCoeffs
+
+    sim = _rect_system()
+    system = sim.system
+    assert system.dia is not None
+    assert len(system.dia.offsets) <= 7 + 2  # {0,±1,±nx,±nx*ny}
+
+    lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)
+    coeffs = MethodCoeffs(
+        c_lhs=jnp.asarray(1.0),
+        dt_eff=jnp.asarray(1e4),
+        const=-lhs0,
+    )
+    _, _, _, _, mat = system.residual_and_jacobian(
+        sim.y0, sim.region0, sim.rock, coeffs,
+        jnp.asarray(0.0), jnp.asarray(1e4),
+    )
+    n = system.mesh.num_cells
+    x = np.random.default_rng(3).standard_normal((n, 2))
+    xj = jnp.asarray(x)
+    y_bsr = np.asarray(mat.matvec(xj))
+    y_dia = np.asarray(dia.jnp_matvec(dia.to_dia(mat, system.dia), xj))
+    y_ell = np.asarray(ell.to_ell(mat, system.ell).matvec(xj))
+    np.testing.assert_allclose(y_dia, y_bsr, rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(y_ell, y_bsr, rtol=1e-12, atol=1e-9)
+
+
+def test_dia_pallas_kernel_interpret():
+    """Pallas band kernel (interpret mode on CPU) matches the jnp
+    path in f32."""
+    from waiwera_tpu.ops import dia
+    from waiwera_tpu.solver.system import MethodCoeffs
+
+    sim = _rect_system(5, 4, 3)
+    system = sim.system
+    lhs0, _, _ = sim.lhs_at(sim.y0, sim.region0)
+    coeffs = MethodCoeffs(
+        c_lhs=jnp.asarray(1.0), dt_eff=jnp.asarray(1e4), const=-lhs0
+    )
+    _, _, _, _, mat = system.residual_and_jacobian(
+        sim.y0, sim.region0, sim.rock, coeffs,
+        jnp.asarray(0.0), jnp.asarray(1e4),
+    )
+    m32 = dia.to_dia(mat, system.dia, dtype=jnp.float32)
+    n = system.mesh.num_cells
+    x = np.random.default_rng(5).standard_normal((n, 2)).astype(np.float32)
+    xj = jnp.asarray(x)
+    y_ref = np.asarray(dia.jnp_matvec(m32, xj))
+    y_pal = np.asarray(dia.pallas_matvec(m32, xj))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-5, atol=2e-4)

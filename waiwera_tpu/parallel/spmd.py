@@ -33,6 +33,7 @@ from jax import lax
 from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 
 from waiwera_tpu.mesh.device import MeshArrays
+from waiwera_tpu.ops import ell as ops_ell
 from waiwera_tpu.parallel.partition import PartitionPlan, build_partition
 from waiwera_tpu.physics.state import RockState
 from waiwera_tpu.solver import bsr
@@ -55,6 +56,7 @@ class LocalSystem(System):
         mesh_local: MeshArrays,
         network,
         structure: BSRStructure,
+        ell_struct: ops_ell.ELLStructure,
         pos_lr: Array,
         pos_rl: Array,
         owned: Array,
@@ -70,6 +72,7 @@ class LocalSystem(System):
         self.npv = eos.num_primary_variables
         self.isothermal = eos.isothermal
         self.structure = structure
+        self.ell = ell_struct
         self.pos_lr = pos_lr
         self.pos_rl = pos_rl
         self.owned = owned
@@ -113,9 +116,11 @@ class LocalSystem(System):
 
         return jax.tree_util.tree_map(ex, x)
 
-    def make_matvec(self, mat):
+    def make_matvec(self, mat, dtype=None):
+        m = ops_ell.to_ell(mat, self.ell, dtype)
+
         def mv(x):
-            y = mat.matvec(self.sync(x))
+            y = m.matvec(self.sync(x))
             return jnp.where(self.owned[:, None], y, 0.0)
 
         return mv
@@ -215,11 +220,19 @@ class DistributedSystem:
             structs.append(st)
             positions.append((lr, rl))
         nnzb = max(int(s.indices.shape[0]) for s in structs)
+        # common ELL width across devices (scatter-free SpMV)
+        ell_width = max(
+            int(np.diff(np.asarray(s.indptr)).max()) for s in structs
+        )
         rows = np.zeros((D, nnzb), np.int32)
-        cols = np.zeros((D, nnzb), np.int32)
+        # pad cols != pad rows so padded entries never look like
+        # diagonal blocks in the ghost-row fixup (they stay zero)
+        cols = np.full((D, nnzb), min(1, plan.n_local - 1), np.int32)
         diag_pos = np.zeros((D, plan.n_local), np.int32)
         pos_lr = np.zeros((D,) + plan.face_cells_local.shape[1:2], np.int32)
         pos_rl = np.zeros_like(pos_lr)
+        ell_indices = np.zeros((D, plan.n_local, ell_width), np.int32)
+        ell_pos = np.zeros_like(ell_indices)
         for d, st in enumerate(structs):
             k = int(st.indices.shape[0])
             rows[d, :k] = np.asarray(st.rows)
@@ -227,14 +240,22 @@ class DistributedSystem:
             # pad entries: duplicate diag key of row 0; never written
             diag_pos[d] = np.asarray(st.diag_pos)
             pos_lr[d], pos_rl[d] = positions[d]
+            es = ops_ell.ell_structure(st, width=ell_width)
+            ell_indices[d] = np.asarray(es.indices)
+            # pad sentinel (this device's nnzb) lands in the
+            # zero-padded tail of the common-size data array
+            ell_pos[d] = np.asarray(es.gather_pos)
         self._bsr_static = dict(
             rows=jnp.asarray(rows),
             cols=jnp.asarray(cols),
             diag_pos=jnp.asarray(diag_pos),
             pos_lr=jnp.asarray(pos_lr),
             pos_rl=jnp.asarray(pos_rl),
+            ell_indices=jnp.asarray(ell_indices),
+            ell_pos=jnp.asarray(ell_pos),
         )
         self._nnzb = nnzb
+        self._ell_width = ell_width
 
         # --- routing tables ------------------------------------------
         self._route_static = dict(
@@ -336,6 +357,13 @@ class DistributedSystem:
             num_rows=self.plan.n_local,
             block_size=npv,
         )
+        ell_struct = ops_ell.ELLStructure(
+            indices=bsr_st["ell_indices"],
+            gather_pos=bsr_st["ell_pos"],
+            num_rows=self.plan.n_local,
+            block_size=npv,
+            width=self._ell_width,
+        )
         network = None
         if self._network is not None:
             network = _LocalSources(
@@ -348,6 +376,7 @@ class DistributedSystem:
             mesh_local,
             network,
             structure,
+            ell_struct,
             bsr_st["pos_lr"],
             bsr_st["pos_rl"],
             route_st["owned"],

@@ -154,6 +154,10 @@ class Timestepper:
             linear_pc=str(
                 opt(lin.get("preconditioner", {}) or {}, "type", "bjacobi")
             ).lower(),
+            # extension over the reference: precision of the inner
+            # Krylov solve (f32 is hardware-native on TPU; the Newton
+            # loop stays f64)
+            linear_dtype=str(opt(lin, "dtype", "float64")).lower(),
         )
 
         # output config

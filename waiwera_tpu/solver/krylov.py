@@ -59,6 +59,7 @@ def bicgstab(
 
     def _norm(a: Array) -> Array:
         return jnp.sqrt(jnp.real(_dot(a, a)))
+    tiny = float(jnp.finfo(b.dtype).tiny)
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
     r0 = r
@@ -77,17 +78,17 @@ def bicgstab(
         phat = precond(p)
         v = matvec(phat)
         denom = _dot(r0, v)
-        alpha = rho / jnp.where(denom != 0, denom, 1e-300)
+        alpha = rho / jnp.where(denom != 0, denom, tiny)
         s = r - alpha * v
         shat = precond(s)
         t = matvec(shat)
         tt = _dot(t, t)
-        omega = _dot(t, s) / jnp.where(tt != 0, tt, 1e-300)
+        omega = _dot(t, s) / jnp.where(tt != 0, tt, tiny)
         x_new = x + alpha * phat + omega * shat
         r_new = s - omega * t
         rho_new = _dot(r0, r_new)
-        beta = (rho_new / jnp.where(rho != 0, rho, 1e-300)) * (
-            alpha / jnp.where(omega != 0, omega, 1e-300)
+        beta = (rho_new / jnp.where(rho != 0, rho, tiny)) * (
+            alpha / jnp.where(omega != 0, omega, tiny)
         )
         p_new = r_new + beta * (p - omega * v)
         return (x_new, r_new, p_new, rho_new, k + 1, _norm(r_new))
@@ -128,6 +129,7 @@ def gmres(
 
     def _norm(a: Array) -> Array:
         return jnp.sqrt(jnp.real(_dot(a, a)))
+    tiny = float(jnp.finfo(b.dtype).tiny)
     x = jnp.zeros_like(b) if x0 is None else x0
     shape = b.shape
     n = b.size
@@ -145,9 +147,9 @@ def gmres(
         r = b - matvec(x)
         beta = _norm(r)
 
-        V = jnp.zeros((m + 1, n))
-        H = jnp.zeros((m + 1, m))
-        V = V.at[0].set(flat(r) / jnp.where(beta != 0, beta, 1e-300))
+        V = jnp.zeros((m + 1, n), b.dtype)
+        H = jnp.zeros((m + 1, m), b.dtype)
+        V = V.at[0].set(flat(r) / jnp.where(beta != 0, beta, tiny))
 
         def body(j, carry):
             V, H, brk = carry
@@ -164,9 +166,9 @@ def gmres(
             H_new = H.at[:, j].set(h)
             H_new = H_new.at[j + 1, j].set(wnorm)
             V_new = V.at[j + 1].set(
-                w / jnp.where(wnorm > 1e-300, wnorm, 1.0)
+                w / jnp.where(wnorm > tiny, wnorm, 1.0)
             )
-            return (V_new, H_new, brk | (wnorm <= 1e-300))
+            return (V_new, H_new, brk | (wnorm <= tiny))
 
         V, H, _ = lax.fori_loop(0, m, body, (V, H, False))
 
@@ -174,7 +176,7 @@ def gmres(
         # (no LAPACK custom calls: TPU has no f64 QR/SVD)
         from waiwera_tpu.solver.smallblocks import hessenberg_lstsq
 
-        y = hessenberg_lstsq(H, beta, m)
+        y = hessenberg_lstsq(H, beta, m).astype(b.dtype)
         dx = V[:m].T @ y  # [n]
         x_new = x + precond(unflat(dx))
         return x_new

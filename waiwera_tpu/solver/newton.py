@@ -46,6 +46,12 @@ class NewtonParams(NamedTuple):
     linear_rtol: float = 1e-5
     linear_max_iterations: int = 1000
     pc_sweeps: int = 3
+    # precision of the inner Krylov solve. "float32" runs the
+    # dominant-cost SpMV/preconditioner loop in hardware-native f32
+    # (TPUs emulate f64 in software); the Newton residual, Jacobian
+    # and convergence tests stay f64, so this is classic
+    # mixed-precision inexact Newton.
+    linear_dtype: str = "float64"
 
 
 class NewtonResult(NamedTuple):
@@ -131,18 +137,28 @@ def newton_solve(
             & (s.it < params.max_iterations)
         )
 
+    linear_dtype = (
+        jnp.float32
+        if params.linear_dtype in ("float32", "f32", "single")
+        else None
+    )
+
     def body(s: _State):
         # Jacobian at current iterate
         r, L, _, err, mat = system.residual_and_jacobian(
             s.y, s.region, rock, coeffs, t0, t1
         )
         pc = precond.make_preconditioner(
-            params.linear_pc, mat, sweeps=params.pc_sweeps
+            params.linear_pc,
+            mat,
+            sweeps=params.pc_sweeps,
+            dtype=linear_dtype,
         )
+        b_lin = r if linear_dtype is None else r.astype(linear_dtype)
         lin = krylov.solve(
             params.linear_method,
-            system.make_matvec(mat),
-            r,
+            system.make_matvec(mat, linear_dtype),
+            b_lin,
             precond=pc,
             rtol=params.linear_rtol,
             max_iterations=params.linear_max_iterations,
@@ -150,7 +166,7 @@ def newton_solve(
         )
         # halo slots of the Krylov solution are not solved locally;
         # pull them from their owner before the pointwise update
-        dy = system.sync(lin.x)
+        dy = system.sync(lin.x.astype(s.y.dtype))
         y_raw = s.y - dy
 
         # post-linesearch: transitions + primary bounds

@@ -24,12 +24,20 @@ from waiwera_tpu.solver.smallblocks import invert_blocks
 Array = jnp.ndarray
 
 
-def block_jacobi(matrix: BSRMatrix) -> Callable[[Array], Array]:
-    """z = D^{-1} r with D the cell-diagonal blocks."""
+def block_jacobi(
+    matrix: BSRMatrix, dtype=None
+) -> Callable[[Array], Array]:
+    """z = D^{-1} r with D the cell-diagonal blocks.
+
+    dtype: apply in this precision (inversion stays f64 for
+    robustness; the apply is cast — f32 on TPU where f64 is
+    software-emulated)."""
     inv = invert_blocks(matrix.diag_blocks())  # [N, b, b]
+    if dtype is not None:
+        inv = inv.astype(dtype)
 
     def apply(r: Array) -> Array:
-        return jnp.einsum("nij,nj->ni", inv, r)
+        return jnp.einsum("nij,nj->ni", inv, r.astype(inv.dtype))
 
     return apply
 
@@ -61,7 +69,7 @@ def ilu0_split(structure: BSRStructure) -> ILU0Data:
     )
 
 
-def dilu(matrix: BSRMatrix, split: ILU0Data, sweeps: int = 3):
+def dilu(matrix: BSRMatrix, split: ILU0Data, sweeps: int = 3, dtype=None):
     """D-ILU / block SGS-style preconditioner with iterative triangular
     solves.
 
@@ -96,8 +104,13 @@ def dilu(matrix: BSRMatrix, split: ILU0Data, sweeps: int = 3):
     )
     dmod = diag.at[split.lower_rows].add(-corr)
     dinv = invert_blocks(dmod)
+    if dtype is not None:
+        dinv = dinv.astype(dtype)
+        lower = lower.astype(dtype)
+        upper = upper.astype(dtype)
 
     def apply(r: Array) -> Array:
+        r = r.astype(dinv.dtype)
         # forward: (D~ + L) y = r  via fixed-point y = D~^{-1}(r - L y)
         y = jnp.einsum("nij,nj->ni", dinv, r)
 
@@ -143,7 +156,11 @@ def _transpose_blocks(matrix: BSRMatrix, split: ILU0Data) -> Array:
 
 
 def make_preconditioner(
-    name: str, matrix: BSRMatrix, split: ILU0Data = None, sweeps: int = 3
+    name: str,
+    matrix: BSRMatrix,
+    split: ILU0Data = None,
+    sweeps: int = 3,
+    dtype=None,
 ):
     """PC factory matching the reference's JSON names
     (timestepper.F90:1743-1835): bjacobi, asm/ilu (mapped to the
@@ -151,9 +168,9 @@ def make_preconditioner(
     if name in ("none",):
         return lambda r: r
     if name in ("bjacobi", "jacobi"):
-        return block_jacobi(matrix)
+        return block_jacobi(matrix, dtype=dtype)
     if name in ("asm", "ilu", "dilu", "sgs"):
         if split is None:
             split = ilu0_split(matrix.structure)
-        return dilu(matrix, split, sweeps=sweeps)
+        return dilu(matrix, split, sweeps=sweeps, dtype=dtype)
     raise ValueError(f"unknown preconditioner: {name!r}")

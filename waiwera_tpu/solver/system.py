@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from waiwera_tpu.mesh.device import MeshArrays
 from waiwera_tpu.physics import assembly
 from waiwera_tpu.physics.state import FluidState, RockState
+from waiwera_tpu.ops import dia, ell
 from waiwera_tpu.sim.sources import source_inflows
 from waiwera_tpu.solver import bsr
 
@@ -60,6 +61,12 @@ class System:
         pos_lr, pos_rl = bsr.face_block_positions(self.structure, face_cells)
         self.pos_lr = jnp.asarray(pos_lr, jnp.int32)
         self.pos_rl = jnp.asarray(pos_rl, jnp.int32)
+        self.ell = ell.ell_structure(self.structure)
+        # banded fast path (rectilinear meshes in natural order):
+        # shift-based SpMV with no index gather at all
+        self.dia = dia.dia_structure(
+            self.structure, np.asarray(mesh.is_ghost)
+        )
 
     # -- parallel hooks (overridden by parallel.spmd.LocalSystem) -----
     # On a single device these are identities; under shard_map they
@@ -92,8 +99,15 @@ class System:
         on a single device."""
         return x
 
-    def make_matvec(self, mat):
-        return mat.matvec
+    def make_matvec(self, mat, dtype=None):
+        """SpMV closure for the Krylov solve: assembled BSR data is
+        re-laid-out once (amortised over the Krylov iterations) into
+        scatter-free DIA bands (banded/structured meshes; Pallas
+        kernel on TPU) or ELL (ops.ell, unstructured), optionally
+        down-cast (f32 inner solves on TPU)."""
+        if self.dia is not None:
+            return dia.to_dia(mat, self.dia, dtype).matvec
+        return ell.to_ell(mat, self.ell, dtype).matvec
 
     # -- state chains -------------------------------------------------
 
