@@ -211,8 +211,23 @@ def build_mesh(
     cell_volume = np.zeros(num_cells)
     v3 = _pad3(vertices)
 
+    from waiwera_tpu import native
+
+    use_native = native.available()
     for (etype, conn), off in zip(cell_blocks, cell_offsets):
         nc = len(conn)
+        if use_native:
+            # C++ geometry kernels (waiwera_tpu/native/topology.cpp):
+            # same tet-fan / shoelace formulas, ~20x the numpy path
+            if dim == 2:
+                cent, vol = native.cell_geom_2d(conn, vertices[:, :2])
+            else:
+                cent, vol = native.cell_geom_3d(
+                    conn, v3, _FACES_3D[etype]
+                )
+            cell_centroid[off : off + nc] = cent
+            cell_volume[off : off + nc] = vol
+            continue
         pts = v3[conn]  # [nc, nv, 3]
         vmean = pts.mean(axis=1)  # [nc, 3]
         if dim == 2:
@@ -258,7 +273,11 @@ def build_mesh(
 
     # ---- face extraction + dedup ---------------------------------
     keys, fcells, fverts = _extract_faces(dim, cell_blocks, cell_offsets)
-    order = np.lexsort(keys.T[::-1])
+    order = (
+        native.sort_rows(keys)
+        if use_native
+        else np.lexsort(keys.T[::-1])
+    )
     keys_s = keys[order]
     fcells_s = fcells[order]
     fverts_s = fverts[order]
@@ -296,6 +315,8 @@ def build_mesh(
         if dim == 2:
             pts = v3[fv[:, -2:]]
             return _edge_geometry(pts[:, :, :3])
+        if use_native:
+            return native.polygon_geom(fv, v3)
         n = len(fv)
         area_n = np.zeros((n, 3))
         cent = np.zeros((n, 3))

@@ -53,7 +53,10 @@ class DIAMatrix(NamedTuple):
 
     def matvec(self, x: Array) -> Array:
         """y = A @ x, x and y of shape [N, b]."""
-        if _use_pallas(self.data.dtype):
+        halo = max((abs(int(d)) for d in self.offsets), default=0)
+        # window DMA waste grows with the largest band offset; past
+        # one tile of halo the fused-XLA path wins
+        if halo <= _TILE and _use_pallas(self.data.dtype):
             return pallas_matvec(self, x)
         return jnp_matvec(self, x)
 
@@ -139,37 +142,37 @@ def jnp_matvec(m: DIAMatrix, x: Array) -> Array:
 _TILE = 2048  # lanes per grid step (multiple of 128)
 
 
-def _dia_kernel(offsets: Sequence[int], b: int, halo: int, tile: int):
+def _dia_kernel(offsets: Sequence[int], b: int, halo_al: int, tile: int):
     """Kernel factory. Band data arrives as [D*b*b, T] tiles in VMEM;
-    x stays in HBM ([b, Npad + 2*halo]) and the D shifted windows are
-    DMA'd into VMEM scratch, overlapped by starting all transfers
-    before the first wait."""
+    x stays in HBM ([b, Npad + 2*halo_al]) and ONE lane-aligned window
+    [b, T + 2*halo_al] is DMA'd per tile (Mosaic requires 128-aligned
+    DMA lane offsets); each band's shifted view is then a static
+    in-VMEM lane roll + aligned slice."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     D = len(offsets)
+    window = tile + 2 * halo_al
 
-    def kernel(x_hbm, bands_ref, y_ref, xs, sems):
-        start = pl.program_id(0) * tile
-
-        def dma(k):
-            off = offsets[k]
-            return pltpu.make_async_copy(
-                x_hbm.at[:, pl.ds(start + halo + off, tile)],
-                xs.at[k],
-                sems.at[k],
-            )
-
-        for k in range(D):
-            dma(k).start()
-
+    def kernel(x_hbm, bands_ref, y_ref, xw, sem):
+        # i32 indices throughout: Mosaic's memref ops reject i64 (which
+        # python ints promote to under jax_enable_x64)
+        start = pl.program_id(0) * jnp.int32(tile)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(start, window)], xw, sem
+        )
+        dma.start()
+        dma.wait()
+        w = xw[:, :]  # [b, window]
         acc = [jnp.zeros((tile,), jnp.float32) for _ in range(b)]
-        for k in range(D):
-            dma(k).wait()
+        for k, d in enumerate(offsets):
+            # shifted[j] = x[start + j + d] = w[halo_al + j + d]:
+            # a static (compile-time) unaligned slice of the window
+            xs = w[:, halo_al + int(d) : halo_al + int(d) + tile]
             for ii in range(b):
                 row = acc[ii]
                 for j in range(b):
-                    row = row + bands_ref[(k * b + ii) * b + j, :] * xs[k, j, :]
+                    row = row + bands_ref[(k * b + ii) * b + j, :] * xs[j, :]
                 acc[ii] = row
         for ii in range(b):
             y_ref[ii, :] = acc[ii]
@@ -188,21 +191,35 @@ def pallas_matvec(m: DIAMatrix, x: Array) -> Array:
     tile = _TILE
     n_pad = -(-n // tile) * tile
     halo = max(abs(int(d)) for d in offsets) if offsets else 0
-    halo = max(halo, 1)
+    halo_al = max(-(-halo // 128) * 128, 128)  # lane-aligned halo
 
-    xt = jnp.zeros((b, n_pad + 2 * halo), jnp.float32)
+    xt = jnp.zeros((b, n_pad + 2 * halo_al), jnp.float32)
     xt = jax.lax.dynamic_update_slice(
-        xt, x.T.astype(jnp.float32), (0, halo)
+        xt, x.T.astype(jnp.float32), (0, halo_al)
     )
     # bands: [D, N, b, b] -> [D*b*b, n_pad] (row (k*b+i)*b+j holds
     # band k, block element (i, j))
     bands = jnp.transpose(m.data, (0, 2, 3, 1)).reshape(D * b * b, n)
     bands = jnp.pad(bands, ((0, 0), (0, n_pad - n)))
 
-    kernel, _ = _dia_kernel(offsets, b, halo, tile)
+    kernel, _ = _dia_kernel(offsets, b, halo_al, tile)
     grid = (n_pad // tile,)
     interpret = jax.default_backend() != "tpu"
-    y = pl.pallas_call(
+    # x64 mode poisons Pallas's grid/index plumbing with i64 values
+    # Mosaic cannot legalize; the kernel itself is pure f32/int32
+    with jax.enable_x64(False):
+        y = _call(
+            pl, pltpu, kernel, grid, D, b, tile, halo_al, n_pad,
+            interpret, xt, bands,
+        )
+    return y[:, :n].T
+
+
+def _call(
+    pl, pltpu, kernel, grid, D, b, tile, halo_al, n_pad, interpret,
+    xt, bands,
+):
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
         grid=grid,
@@ -218,9 +235,8 @@ def pallas_matvec(m: DIAMatrix, x: Array) -> Array:
             (b, tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((D, b, tile), jnp.float32),
-            pltpu.SemaphoreType.DMA((D,)),
+            pltpu.VMEM((b, tile + 2 * halo_al), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(xt, bands)
-    return y[:, :n].T
