@@ -67,8 +67,15 @@ def main():
     # inner Krylov precision: f32 is TPU-native (f64 is software
     # -emulated); Newton residual/Jacobian/convergence stay f64
     linear_dtype = os.environ.get("BENCH_LINEAR_DTYPE", "float32")
+    # bjacobi beats DILU on TPU at these sizes: DILU's triangular
+    # sweeps cost ~6 band-applies per iteration and the iteration
+    # -count reduction does not pay for them on the VPU
+    linear_pc = os.environ.get("BENCH_PC", "bjacobi")
     params = NewtonParams(
-        max_iterations=8, min_iterations=1, linear_dtype=linear_dtype
+        max_iterations=8,
+        min_iterations=1,
+        linear_dtype=linear_dtype,
+        linear_pc=linear_pc,
     )
     step = sim.make_step_fn(params, "beuler")
     lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)

@@ -125,6 +125,22 @@ class LocalSystem(System):
 
         return mv
 
+    def make_linear_operator(self, mat, pc_name, dtype=None, sweeps=3):
+        """Distributed variant: ELL matvec with halo sync; the
+        preconditioner acts on the local rows only (block-Jacobi at
+        device granularity, like the reference's bjacobi default)."""
+        from waiwera_tpu.solver import precond as _precond
+
+        mv = self.make_matvec(mat, dtype)
+        name = (
+            pc_name if pc_name in ("bjacobi", "jacobi", "none")
+            else "bjacobi"
+        )
+        pc = _precond.make_preconditioner(
+            name, mat, sweeps=sweeps, dtype=dtype
+        )
+        return mv, pc
+
     # -- row masking: only owned rows count --------------------------
 
     def residual(self, y, region, rock, coeffs, t0, t1):

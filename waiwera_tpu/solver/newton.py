@@ -148,16 +148,16 @@ def newton_solve(
         r, L, _, err, mat = system.residual_and_jacobian(
             s.y, s.region, rock, coeffs, t0, t1
         )
-        pc = precond.make_preconditioner(
-            params.linear_pc,
+        mv, pc = system.make_linear_operator(
             mat,
-            sweeps=params.pc_sweeps,
+            params.linear_pc,
             dtype=linear_dtype,
+            sweeps=params.pc_sweeps,
         )
         b_lin = r if linear_dtype is None else r.astype(linear_dtype)
         lin = krylov.solve(
             params.linear_method,
-            system.make_matvec(mat, linear_dtype),
+            mv,
             b_lin,
             precond=pc,
             rtol=params.linear_rtol,

@@ -109,6 +109,36 @@ class System:
             return dia.to_dia(mat, self.dia, dtype).matvec
         return ell.to_ell(mat, self.ell, dtype).matvec
 
+    def make_linear_operator(self, mat, pc_name, dtype=None, sweeps=3):
+        """(matvec, preconditioner) for the Krylov solve, sharing one
+        band/ELL layout pass. Factorisations (block inverses, DILU
+        modified diagonal) run in f64; applications run in `dtype`."""
+        from waiwera_tpu.solver import precond as _precond
+        from waiwera_tpu.solver.smallblocks import invert_blocks
+
+        if self.dia is not None:
+            m64 = dia.to_dia(mat, self.dia)
+            m = (
+                m64
+                if dtype is None
+                else m64._replace(bands=m64.bands.astype(dtype))
+            )
+            if pc_name in ("none",):
+                pc = lambda r: r
+            elif pc_name in ("bjacobi", "jacobi"):
+                dinv = invert_blocks(dia.diag_band_blocks(m64))
+                pc = dia.dia_block_jacobi(dinv, dtype)
+            else:  # asm / ilu / dilu / sgs -> shift-based DILU
+                pc = dia.dia_dilu(
+                    m64, invert_blocks, sweeps=sweeps, dtype=dtype
+                )
+            return m.matvec, pc
+        mv = ell.to_ell(mat, self.ell, dtype).matvec
+        pc = _precond.make_preconditioner(
+            pc_name, mat, sweeps=sweeps, dtype=dtype
+        )
+        return mv, pc
+
     # -- state chains -------------------------------------------------
 
     def derived_state(self, y: Array, region: Array, rock: RockState):
