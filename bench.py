@@ -71,11 +71,13 @@ def main():
     # sweeps cost ~6 band-applies per iteration and the iteration
     # -count reduction does not pay for them on the VPU
     linear_pc = os.environ.get("BENCH_PC", "bjacobi")
+    jacobian_dtype = os.environ.get("BENCH_JAC_DTYPE", "float32")
     params = NewtonParams(
         max_iterations=8,
         min_iterations=1,
         linear_dtype=linear_dtype,
         linear_pc=linear_pc,
+        jacobian_dtype=jacobian_dtype,
     )
     step = sim.make_step_fn(params, "beuler")
     lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)

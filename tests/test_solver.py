@@ -325,3 +325,65 @@ def test_make_linear_operator_consistency():
         np.testing.assert_allclose(y, yd, rtol=tol, atol=tol * scale)
         z = pc(jnp.asarray(x, dtype or jnp.float64))
         assert np.all(np.isfinite(np.asarray(z)))
+
+
+def test_jacobian_float32_tangents():
+    """f32 Jacobian chain matches the f64 Jacobian to f32 accuracy and
+    the residual stays f64."""
+    from waiwera_tpu.solver.system import MethodCoeffs
+
+    sim = _rect_system(6, 5, 4)
+    system = sim.system
+    lhs0, _, _ = sim.lhs_at(sim.y0, sim.region0)
+    coeffs = MethodCoeffs(
+        c_lhs=jnp.asarray(1.0), dt_eff=jnp.asarray(1e4), const=-lhs0
+    )
+    r64, L64, _, _, mat64 = system.residual_and_jacobian(
+        sim.y0, sim.region0, sim.rock, coeffs,
+        jnp.asarray(0.0), jnp.asarray(1e4),
+    )
+    r32, L32, _, _, mat32 = system.residual_and_jacobian(
+        sim.y0, sim.region0, sim.rock, coeffs,
+        jnp.asarray(0.0), jnp.asarray(1e4),
+        tangent_dtype=jnp.float32,
+    )
+    assert r32.dtype == jnp.float64
+    assert mat32.data.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(r32), np.asarray(r64), rtol=1e-12, atol=1e-12
+    )
+    d64 = np.asarray(mat64.data)
+    d32 = np.asarray(mat32.data)
+    scale = np.abs(d64).max(axis=(1, 2), keepdims=True) + 1e-30
+    np.testing.assert_allclose(d32 / scale, d64 / scale, atol=2e-4)
+
+
+def test_newton_with_float32_jacobian_converges():
+    """End-to-end Newton step with f32 Jacobian + f32 Krylov reaches
+    the same solution as the f64 path."""
+    import jax
+    from waiwera_tpu.solver.newton import NewtonParams
+
+    sim = _rect_system(6, 5, 4)
+    lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)
+    dt = jnp.asarray(2e4)
+    args = (
+        sim.y0, sim.region0, fluid0.temperature, lhs0, lhs0,
+        jnp.asarray(0.0), dt, dt, jnp.asarray(1.0),
+    )
+    res64 = sim.make_step_fn(
+        NewtonParams(min_iterations=1), "beuler"
+    )(*args)[0]
+    res32 = sim.make_step_fn(
+        NewtonParams(
+            min_iterations=1,
+            jacobian_dtype="float32",
+            linear_dtype="float32",
+        ),
+        "beuler",
+    )(*args)[0]
+    assert bool(res64.converged) and bool(res32.converged)
+    assert not bool(res32.failed)
+    y64 = np.asarray(res64.y)
+    y32 = np.asarray(res32.y)
+    np.testing.assert_allclose(y32, y64, rtol=2e-5, atol=2e-5)

@@ -148,9 +148,11 @@ class LocalSystem(System):
         r = jnp.where(self.owned[:, None], r, 0.0)
         return r, L, fluxes, err
 
-    def residual_and_jacobian(self, y, region, rock, coeffs, t0, t1):
+    def residual_and_jacobian(
+        self, y, region, rock, coeffs, t0, t1, tangent_dtype=None
+    ):
         r, L, fluxes, err, mat = super().residual_and_jacobian(
-            y, region, rock, coeffs, t0, t1
+            y, region, rock, coeffs, t0, t1, tangent_dtype=tangent_dtype
         )
         r = jnp.where(self.owned[:, None], r, 0.0)
         # halo/pad rows -> identity so the local preconditioner stays
@@ -158,11 +160,11 @@ class LocalSystem(System):
         s = self.structure
         rows_owned = self.owned[s.rows]
         is_diag = s.rows == s.indices
-        eye = jnp.eye(self.npv)
+        eye = jnp.eye(self.npv, dtype=mat.data.dtype)
         data = jnp.where(
             rows_owned[:, None, None],
             mat.data,
-            jnp.where(is_diag[:, None, None], eye, 0.0),
+            jnp.where(is_diag[:, None, None], eye, jnp.zeros((), mat.data.dtype)),
         )
         return r, L, fluxes, err, bsr.BSRMatrix(structure=s, data=data)
 

@@ -52,6 +52,11 @@ class NewtonParams(NamedTuple):
     # and convergence tests stay f64, so this is classic
     # mixed-precision inexact Newton.
     linear_dtype: str = "float64"
+    # precision of the Jacobian tangent chains (EOS/flux derivatives
+    # and block assembly). "float32" keeps the residual f64 but
+    # assembles the Jacobian in f32 — inexact Newton with ~1e-6
+    # -accurate directions (system.residual_and_jacobian).
+    jacobian_dtype: str = "float64"
 
 
 class NewtonResult(NamedTuple):
@@ -142,11 +147,20 @@ def newton_solve(
         if params.linear_dtype in ("float32", "f32", "single")
         else None
     )
+    jacobian_dtype = (
+        jnp.float32
+        if params.jacobian_dtype in ("float32", "f32", "single")
+        else None
+    )
+    if jacobian_dtype is not None:
+        # an f32 Jacobian cannot back an f64 Krylov solve
+        linear_dtype = jacobian_dtype
 
     def body(s: _State):
         # Jacobian at current iterate
         r, L, _, err, mat = system.residual_and_jacobian(
-            s.y, s.region, rock, coeffs, t0, t1
+            s.y, s.region, rock, coeffs, t0, t1,
+            tangent_dtype=jacobian_dtype,
         )
         mv, pc = system.make_linear_operator(
             mat,

@@ -225,9 +225,87 @@ class System:
         coeffs: MethodCoeffs,
         t0: Array,
         t1: Array,
+        tangent_dtype=None,
     ):
-        """Returns (residual, lhs, fluxes, err, BSRMatrix)."""
-        mesh = self.mesh
+        """Returns (residual, lhs, fluxes, err, BSRMatrix).
+
+        tangent_dtype=float32: evaluate the Jacobian chain (EOS
+        property tangents, flux tangents, block assembly) in f32 while
+        the residual stays f64. TPUs emulate f64 in software, and the
+        Jacobian only steers the Newton direction (the reference's own
+        Jacobian is FD noise-limited to ~1e-8, timestepper.F90:1626),
+        so f32 tangents (~1e-6 relative) preserve quadratic-ish
+        convergence at a fraction of the assembly cost. Implemented by
+        tracing the same code under jax.enable_x64(False), which
+        downcasts every array and constant in the chain.
+        """
+        if tangent_dtype is not None:
+            import warnings
+
+            r, L, fluxes, err = self.residual(
+                y, region, rock, coeffs, t0, t1
+            )
+            with warnings.catch_warnings():
+                warnings.filterwarnings(
+                    "ignore", message=".*truncated to dtype float32.*"
+                )
+                with jax.enable_x64(False):
+                    # nested jit: the f32 trace gets its own closed
+                    # jaxpr, so shared numpy constants (thermo tables)
+                    # don't alias the f64 residual trace's f64 avals
+                    core32 = jax.jit(
+                        lambda yy, rr, cc: self._rj_core(
+                            yy, region, rr, cc, t0, t1,
+                            mesh=self._mesh_cast(tangent_dtype),
+                        )[4].data
+                    )
+                    def cast(a):
+                        if hasattr(a, "dtype") and jnp.issubdtype(
+                            a.dtype, jnp.floating
+                        ):
+                            return a.astype(tangent_dtype)
+                        return a
+
+                    data = core32(
+                        y.astype(tangent_dtype),
+                        jax.tree_util.tree_map(cast, rock),
+                        jax.tree_util.tree_map(cast, coeffs),
+                    )
+            mat = bsr.BSRMatrix(structure=self.structure, data=data)
+            return r, L, fluxes, err, mat
+        return self._rj_core(y, region, rock, coeffs, t0, t1)
+
+    def _mesh_cast(self, dtype):
+        """Mesh arrays with floating fields cast to dtype (cached):
+        keeps the f32 tangent chain from re-promoting to f64 through
+        captured f64 geometry."""
+        cache = getattr(self, "_mesh_cast_cache", None)
+        if cache is None or cache[0] != dtype:
+            cast = jax.tree_util.tree_map(
+                lambda a: (
+                    a.astype(dtype)
+                    if hasattr(a, "dtype")
+                    and jnp.issubdtype(a.dtype, jnp.floating)
+                    else a
+                ),
+                self.mesh,
+            )
+            cache = (dtype, cast)
+            self._mesh_cast_cache = cache
+        return cache[1]
+
+    def _rj_core(
+        self,
+        y: Array,
+        region: Array,
+        rock: RockState,
+        coeffs: MethodCoeffs,
+        t0: Array,
+        t1: Array,
+        mesh: Optional[MeshArrays] = None,
+    ):
+        if mesh is None:
+            mesh = self.mesh
         npv = self.npv
         n = mesh.num_cells
         cl = mesh.face_cells[:, 0]

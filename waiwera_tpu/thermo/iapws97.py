@@ -174,11 +174,11 @@ _VISC_H1 = np.array([
 ])
 _VISC_I = np.array(
     [0, 1, 2, 3, 0, 1, 2, 3, 5, 0, 1, 2, 3, 4, 0, 1, 0, 3, 4, 3, 5],
-    dtype=np.int64,
+    dtype=np.int32,  # int32: indices must not promote under x64-off
 )
 _VISC_J = np.array(
     [0, 0, 0, 0, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 4, 4, 5, 6, 6],
-    dtype=np.int64,
+    dtype=np.int32,  # int32: indices must not promote under x64-off
 )
 
 # Operating-range limits (IAPWS.F90 region property routines)
