@@ -15,6 +15,7 @@ the numpy implementations in mesh/core.py & parallel/partition.py —
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -24,7 +25,6 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "topology.cpp")
-_LIB = os.path.join(_HERE, "_libwaiwera_native.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -34,10 +34,21 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 _f64p = ctypes.POINTER(ctypes.c_double)
 
 
-def _build() -> bool:
+def _lib_path() -> str:
+    """Library path keyed on a content hash of the source, so a stale
+    binary (e.g. from a fresh checkout where git equalises mtimes, or
+    built on another machine with different ISA extensions) is never
+    loaded — the library is always compiled locally."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"_libwaiwera_native_{digest}.so")
+
+
+def _build(lib_path: str) -> bool:
+    tmp = lib_path + ".tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-        "-std=c++17", _SRC, "-o", _LIB,
+        "-std=c++17", _SRC, "-o", tmp,
     ]
     try:
         r = subprocess.run(
@@ -47,12 +58,34 @@ def _build() -> bool:
             # retry without openmp/march (portability)
             cmd = [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                _SRC, "-o", _LIB,
+                _SRC, "-o", tmp,
             ]
             r = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=240
             )
-        return r.returncode == 0
+        if r.returncode != 0:
+            return False
+        os.replace(tmp, lib_path)
+        return True
+    except Exception:
+        return False
+
+
+def _self_test(lib) -> bool:
+    """Known-answer check so a miscompiled/incompatible library is
+    rejected before any real call."""
+    try:
+        keys = np.array([[2, 1], [0, 3], [2, 0], [0, 1]], np.int64)
+        order = np.empty(4, np.int64)
+        lib.ww_sort_rows(4, 2, _ip(keys), _ip(order))
+        if not np.array_equal(order, np.lexsort(keys.T[::-1])):
+            return False
+        # RCM on a 4-path graph must be a permutation of 0..3
+        indptr = np.array([0, 1, 3, 5, 6], np.int64)
+        indices = np.array([1, 0, 2, 1, 3, 2], np.int64)
+        perm = np.empty(4, np.int64)
+        lib.ww_rcm(4, _ip(indptr), _ip(indices), _ip(perm))
+        return np.array_equal(np.sort(perm), np.arange(4))
     except Exception:
         return False
 
@@ -70,12 +103,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ):
             return None
         try:
-            need_build = (not os.path.exists(_LIB)) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-            )
-            if need_build and not _build():
+            lib_path = _lib_path()
+            if not os.path.exists(lib_path) and not _build(lib_path):
                 return None
-            lib = ctypes.CDLL(_LIB)
+            lib = ctypes.CDLL(lib_path)
         except Exception:
             return None
         lib.ww_cell_geom_3d.argtypes = [
@@ -95,6 +126,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ww_partition_graph.argtypes = [
             ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, _i64p,
         ]
+        if not _self_test(lib):
+            return None
         _lib = lib
         return _lib
 

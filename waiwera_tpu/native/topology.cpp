@@ -231,6 +231,9 @@ void ww_partition_graph(int64_t n, const int64_t* indptr,
 
   int64_t next_seed = 0;
   for (int64_t p = 0; p < nparts; ++p) {
+    // skip the assigned prefix so each seed search starts at the
+    // first unassigned vertex rather than rescanning from 0
+    while (next_seed < n && part[next_seed] >= 0) ++next_seed;
     // seed: unassigned vertex of minimum degree (peripheral-ish)
     int64_t seed = -1, best = INT64_MAX;
     for (int64_t i = next_seed; i < n; ++i)

@@ -45,6 +45,9 @@ class NewtonParams(NamedTuple):
     linear_pc: str = "bjacobi"
     linear_rtol: float = 1e-5
     linear_max_iterations: int = 1000
+    linear_restart: int = 30  # gmres/lgmres subspace size
+    linear_augment: int = 2  # lgmres augmentation depth (PETSc default)
+    linear_ell: int = 2  # bcgsl polynomial degree (PETSc default)
     pc_sweeps: int = 3
     # precision of the inner Krylov solve. "float32" runs the
     # dominant-cost SpMV/preconditioner loop in hardware-native f32
@@ -57,6 +60,23 @@ class NewtonParams(NamedTuple):
     # assembles the Jacobian in f32 — inexact Newton with ~1e-6
     # -accurate directions (system.residual_and_jacobian).
     jacobian_dtype: str = "float64"
+
+
+_F32_NAMES = ("float32", "f32", "single")
+_F64_NAMES = ("float64", "f64", "double")
+
+
+def _resolve_dtype(name: str, what: str):
+    """f32 -> jnp.float32, f64 -> None (native); anything else is an
+    error rather than a silent f64 fallback."""
+    if name in _F32_NAMES:
+        return jnp.float32
+    if name in _F64_NAMES:
+        return None
+    raise ValueError(
+        f"unknown {what} {name!r}: expected one of "
+        f"{_F32_NAMES + _F64_NAMES}"
+    )
 
 
 class NewtonResult(NamedTuple):
@@ -142,15 +162,9 @@ def newton_solve(
             & (s.it < params.max_iterations)
         )
 
-    linear_dtype = (
-        jnp.float32
-        if params.linear_dtype in ("float32", "f32", "single")
-        else None
-    )
-    jacobian_dtype = (
-        jnp.float32
-        if params.jacobian_dtype in ("float32", "f32", "single")
-        else None
+    linear_dtype = _resolve_dtype(params.linear_dtype, "linear_dtype")
+    jacobian_dtype = _resolve_dtype(
+        params.jacobian_dtype, "jacobian_dtype"
     )
     if jacobian_dtype is not None:
         # an f32 Jacobian cannot back an f64 Krylov solve
@@ -176,6 +190,9 @@ def newton_solve(
             precond=pc,
             rtol=params.linear_rtol,
             max_iterations=params.linear_max_iterations,
+            restart=params.linear_restart,
+            augment=params.linear_augment,
+            ell=params.linear_ell,
             reduce_sum=system.reduce_sum,
         )
         # halo slots of the Krylov solution are not solved locally;
