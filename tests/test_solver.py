@@ -80,6 +80,76 @@ def test_gmres():
     np.testing.assert_allclose(np.asarray(res.x), xstar, rtol=1e-6, atol=1e-8)
 
 
+def test_lgmres():
+    """LGMRES converges to the exact solution; with augment=0 it
+    reduces exactly to plain restarted GMRES (same cycle count)."""
+    mat, _ = laplacian_1d(60, b=2)
+    rng = np.random.default_rng(7)
+    xstar = rng.standard_normal((60, 2))
+    b = mat.matvec(jnp.asarray(xstar))
+    res = krylov.lgmres(b=b, matvec=mat.matvec, rtol=1e-10, restart=8,
+                        augment=2, max_restarts=200)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), xstar, rtol=1e-6,
+                               atol=1e-8)
+    res0 = krylov.lgmres(b=b, matvec=mat.matvec, rtol=1e-10, restart=8,
+                         augment=0, max_restarts=200)
+    res_g = krylov.gmres(mat.matvec, b, rtol=1e-10, restart=8,
+                         max_restarts=200)
+    assert int(res0.iterations) == int(res_g.iterations)
+
+
+def test_lgmres_with_precond():
+    mat, _ = laplacian_1d(50, b=3)
+    rng = np.random.default_rng(8)
+    xstar = rng.standard_normal((50, 3))
+    b = mat.matvec(jnp.asarray(xstar))
+    pc = precond.block_jacobi(mat)
+    res = krylov.lgmres(b=b, matvec=mat.matvec, precond=pc, rtol=1e-10,
+                        restart=10, augment=3, max_restarts=100)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), xstar, rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_bicgstab_l():
+    mat, _ = laplacian_1d(60, b=2)
+    rng = np.random.default_rng(9)
+    xstar = rng.standard_normal((60, 2))
+    b = mat.matvec(jnp.asarray(xstar))
+    res = krylov.bicgstab_l(mat.matvec, b, rtol=1e-10, ell=2)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), xstar, rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_bicgstab_l_with_precond():
+    mat, _ = laplacian_1d(70, b=3)
+    rng = np.random.default_rng(10)
+    xstar = rng.standard_normal((70, 3))
+    b = mat.matvec(jnp.asarray(xstar))
+    pc = precond.make_preconditioner("ilu", mat)
+    res = krylov.bicgstab_l(mat.matvec, b, precond=pc, rtol=1e-10,
+                            ell=4)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), xstar, rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_solve_dispatch_all_methods():
+    mat, _ = laplacian_1d(40, b=2)
+    rng = np.random.default_rng(11)
+    xstar = rng.standard_normal((40, 2))
+    b = mat.matvec(jnp.asarray(xstar))
+    for method in ("bcgs", "gmres", "lgmres", "bcgsl"):
+        res = krylov.solve(method, mat.matvec, b, rtol=1e-10)
+        assert bool(res.converged), method
+        np.testing.assert_allclose(
+            np.asarray(res.x), xstar, rtol=1e-6, atol=1e-8,
+            err_msg=method,
+        )
+
+
 def test_dilu_preconditioner():
     mat, _ = laplacian_1d(60, b=2)
     rng = np.random.default_rng(5)

@@ -154,6 +154,23 @@ class Timestepper:
             linear_pc=str(
                 opt(lin.get("preconditioner", {}) or {}, "type", "bjacobi")
             ).lower(),
+            # linear tolerances / subspace options (reference JSON:
+            # time.step.solver.linear.tolerance.relative,
+            # .maximum.iterations, .options.gmres.restart —
+            # timestepper.F90:1677-1700,1769-1789)
+            linear_rtol=float(
+                opt(lin.get("tolerance", {}) or {}, "relative", 1e-5)
+            ),
+            linear_max_iterations=int(
+                opt(lin.get("maximum", {}) or {}, "iterations", 1000)
+            ),
+            linear_restart=int(
+                opt(
+                    (lin.get("options", {}) or {}).get("gmres", {}) or {},
+                    "restart",
+                    30,
+                )
+            ),
             # extension over the reference: precision of the inner
             # Krylov solve (f32 is hardware-native on TPU; the Newton
             # loop stays f64)
