@@ -361,6 +361,108 @@ class SourceNetwork:
 
         self._parse_network(network_cfg or {})
         self.has_network = bool(self.groups or self.reinjectors)
+        self._build_stacks()
+
+    def _build_stacks(self):
+        """Precompute batched table stacks so `flows` is fully
+        vectorised over sources: no Python .at[i] loops in the traced
+        path (pathological jaxpr growth at production well counts)."""
+        from waiwera_tpu.utils.interpolation import build_sparse_updates
+
+        specs = self.specs
+        ns = self.num_sources
+        self._base_rate = np.asarray([s.base_rate for s in specs])
+        self._base_enthalpy = np.asarray([s.base_enthalpy for s in specs])
+        self._upd_rate = build_sparse_updates(
+            [(i, s.rate_table) for i, s in enumerate(specs)]
+        )
+        self._upd_enthalpy = build_sparse_updates(
+            [(i, s.enthalpy_table) for i, s in enumerate(specs)]
+        )
+        self._upd_rate_factor = build_sparse_updates(
+            [(i, s.rate_factor_table) for i, s in enumerate(specs)]
+        )
+        self._deliv_pi_base = np.asarray(
+            [
+                self._pi_from_rate[i] if s.deliv_pi_from_rate else s.deliv_pi
+                for i, s in enumerate(specs)
+            ]
+        )
+        self._upd_deliv_pi = build_sparse_updates(
+            [(i, s.deliv_pi_table) for i, s in enumerate(specs)]
+        )
+        self._recharge_coeff_base = np.asarray(
+            [s.recharge_coeff for s in specs]
+        )
+        self._upd_recharge_coeff = build_sparse_updates(
+            [(i, s.recharge_coeff_table) for i, s in enumerate(specs)]
+        )
+        # reference pressures per prefix: constant base (PREF_INITIAL
+        # substituted at trace time from finalize()), then batched
+        # table updates split by abscissa kind
+        self._pref_updates = {}
+        for prefix in ("deliv", "recharge"):
+            by_mode = {PREF_TIME: [], PREF_ENTHALPY: [], PREF_PRESSURE: []}
+            for i, s in enumerate(specs):
+                tab = getattr(s, f"{prefix}_pref_table")
+                mode = getattr(s, f"{prefix}_pref_mode")
+                if tab is not None and mode in by_mode:
+                    by_mode[mode].append((i, tab))
+            self._pref_updates[prefix] = {
+                m: build_sparse_updates(lst) for m, lst in by_mode.items()
+            }
+        # separators: stages stacked to [ns, max_stages]
+        max_st = max((len(s.separator.pressures) for s in specs), default=0)
+        max_st = max(max_st, 1)
+        sep_hw = np.zeros((ns, max_st))
+        sep_hs = np.ones((ns, max_st))
+        sep_stage = np.zeros((ns, max_st), bool)
+        for i, s in enumerate(specs):
+            st = len(s.separator.pressures)
+            if s.separator.on and st:
+                sep_hw[i, :st] = s.separator.ref_water_h
+                sep_hs[i, :st] = s.separator.ref_steam_h
+                sep_stage[i, :st] = True
+        self._sep_hw = jnp.asarray(sep_hw)
+        self._sep_hs = jnp.asarray(sep_hs)
+        self._sep_stage = jnp.asarray(sep_stage)
+        self._sep_on = jnp.asarray(
+            np.asarray([s.separator.on for s in specs], bool)
+        )
+        # per-source limiters: [ns, 3] constants (inf = unlimited) +
+        # batched table updates into the flattened [ns*3] array
+        lim_const = np.full((ns, 3), np.inf)
+        lim_tabs = []
+        for i, s in enumerate(specs):
+            if s.limiter is None:
+                continue
+            for ft, entry in (
+                (FLOW_TOTAL, s.limiter.total),
+                (FLOW_WATER, s.limiter.water),
+                (FLOW_STEAM, s.limiter.steam),
+            ):
+                if entry is None:
+                    continue
+                const, tab = entry
+                if tab is None:
+                    lim_const[i, ft] = const
+                else:
+                    lim_const[i, ft] = 0.0
+                    lim_tabs.append((i * 3 + ft, tab))
+        self._lim_const = lim_const
+        self._upd_limits = build_sparse_updates(lim_tabs)
+        self._lim_any = np.isfinite(lim_const).any(axis=1)
+        # tracer injection rates: [ns, nt] constants + flat updates
+        nt = len(self.tracer_names)
+        tr_const = np.zeros((ns, max(nt, 1)))
+        tr_tabs = []
+        for i, s in enumerate(specs):
+            for k, (c, tab) in enumerate(s.tracer_rates):
+                tr_const[i, k] = c
+                if tab is not None:
+                    tr_tabs.append((i * max(nt, 1) + k, tab))
+        self._tracer_const = tr_const
+        self._upd_tracer = build_sparse_updates(tr_tabs)
 
     # -- parsing ------------------------------------------------------
 
@@ -656,21 +758,29 @@ class SourceNetwork:
                     self._pi_from_rate[i] = abs(rate) / factor
                 else:
                     self._pi_from_rate[i] = DEFAULT_PRODUCTIVITY
+        self._deliv_pi_base = np.asarray(
+            [
+                self._pi_from_rate[i] if s.deliv_pi_from_rate else s.deliv_pi
+                for i, s in enumerate(self.specs)
+            ]
+        )
 
     # -- the pure update ----------------------------------------------
 
     def flows(self, fluid, t0, t1):
         """Returns (rate [ns], enthalpy [ns]): signed source rates and
-        effective (injection or flowing) enthalpies."""
+        effective (injection or flowing) enthalpies. Fully vectorised
+        over sources: per-source controls are batched table stacks
+        (utils.interpolation.StackedTables); no Python loop is traced
+        except the tiny group/reinjector DAG."""
         ns = self.num_sources
         cell = self.arrays.cell
-        q = jnp.asarray([s.base_rate for s in self.specs])
-        h_inj = jnp.asarray([s.base_enthalpy for s in self.specs])
-        for i, s in enumerate(self.specs):
-            if s.rate_table is not None:
-                q = q.at[i].set(s.rate_table.average(t0, t1)[0])
-            if s.enthalpy_table is not None:
-                h_inj = h_inj.at[i].set(s.enthalpy_table.average(t0, t1)[0])
+        q = jnp.asarray(self._base_rate)
+        h_inj = jnp.asarray(self._base_enthalpy)
+        for upd in self._upd_rate:
+            q = upd.average_into(q, t0, t1)
+        for upd in self._upd_enthalpy:
+            h_inj = upd.average_into(h_inj, t0, t1)
 
         P = fluid.pressure[cell]
         pf = fluid.permeability_factor[cell]
@@ -682,39 +792,26 @@ class SourceNetwork:
 
         if self.has_deliv:
             mob_tot = jnp.sum(fluid.mobility()[cell], axis=-1)
-            pi = jnp.asarray(
-                [
-                    self._pi_from_rate[i] if s.deliv_pi_from_rate
-                    else s.deliv_pi
-                    for i, s in enumerate(self.specs)
-                ]
-            )
+            pi = jnp.asarray(self._deliv_pi_base)
+            for upd in self._upd_deliv_pi:
+                pi = upd.average_into(pi, t0, t1)
             pref = self._reference_pressure("deliv", t0, t1, h_flow, P)
             qd = -pi * pf * mob_tot * (P - pref)
-            for i, s in enumerate(self.specs):
-                if s.deliv_pi_table is not None:
-                    pi_i = s.deliv_pi_table.average(t0, t1)[0]
-                    qd = qd.at[i].set(
-                        -pi_i * pf[i] * mob_tot[i] * (P[i] - pref[i])
-                    )
             q = jnp.where(jnp.asarray(self.deliv_mask), qd, q)
 
         if self.has_recharge:
-            coeff = jnp.asarray(
-                [s.recharge_coeff for s in self.specs]
-            )
-            for i, s in enumerate(self.specs):
-                if s.recharge_coeff_table is not None:
-                    coeff = coeff.at[i].set(
-                        s.recharge_coeff_table.average(t0, t1)[0]
-                    )
+            coeff = jnp.asarray(self._recharge_coeff_base)
+            for upd in self._upd_recharge_coeff:
+                coeff = upd.average_into(coeff, t0, t1)
             pref_r = self._reference_pressure("recharge", t0, t1, h_flow, P)
             qr = -coeff * (P - pref_r)
             q = jnp.where(jnp.asarray(self.recharge_mask), qr, q)
 
-        for i, s in enumerate(self.specs):
-            if s.rate_factor_table is not None:
-                q = q.at[i].multiply(s.rate_factor_table.average(t0, t1)[0])
+        if self._upd_rate_factor:
+            factor = jnp.ones(ns)
+            for upd in self._upd_rate_factor:
+                factor = upd.average_into(factor, t0, t1)
+            q = q * factor
 
         # direction control (source_control.F90:597-619)
         direction = jnp.asarray(self.direction)
@@ -730,20 +827,29 @@ class SourceNetwork:
         # separated flows per source
         qw, hw, qs, hs = self._separated(q, h_eff)
 
-        # per-source limiters
+        # per-source limiters, vectorised (source_network_node.F90:
+        # 247-300): limit = inf where unlimited
         if self.has_limiters:
-            for i, s in enumerate(self.specs):
-                if s.limiter is None:
-                    continue
-                limits = s.limiter.limits_at(t0, t1)
-                scale = _limit_scale(
-                    {FLOW_TOTAL: q[i], FLOW_WATER: qw[i], FLOW_STEAM: qs[i]},
-                    limits,
-                )
-                if scale is not None:
-                    q = q.at[i].multiply(scale)
-                    qw = qw.at[i].multiply(scale)
-                    qs = qs.at[i].multiply(scale)
+            limits = jnp.asarray(self._lim_const).reshape(-1)
+            for upd in self._upd_limits:
+                limits = upd.average_into(limits, t0, t1)
+            limits = limits.reshape(ns, 3)
+            rates = jnp.stack([q, qw, qs], axis=1)  # [ns, 3]
+            r = jnp.abs(rates)
+            s = jnp.where(
+                (r > limits) & jnp.isfinite(limits),
+                jnp.where(
+                    r > LIMIT_SMALL,
+                    limits / jnp.maximum(r, LIMIT_SMALL),
+                    1.0,
+                ),
+                1.0,
+            )
+            scale = jnp.min(s, axis=1)
+            scale = jnp.where(jnp.asarray(self._lim_any), scale, 1.0)
+            q = q * scale
+            qw = qw * scale
+            qs = qs * scale
 
         if self.has_network:
             q, h_eff, qw, hw, qs, hs = self._network_update(
@@ -756,52 +862,86 @@ class SourceNetwork:
     def tracer_injection(self, t0, t1):
         """[ns, nt] tracer injection rates over the interval."""
         nt = len(self.tracer_names)
-        out = jnp.asarray(
-            [[c for c, _ in s.tracer_rates] for s in self.specs]
-        ).reshape(self.num_sources, nt)
-        for i, s in enumerate(self.specs):
-            for k, (_, tab) in enumerate(s.tracer_rates):
-                if tab is not None:
-                    out = out.at[i, k].set(tab.average(t0, t1)[0])
-        return out
+        out = jnp.asarray(self._tracer_const).reshape(-1)
+        for upd in self._upd_tracer:
+            out = upd.average_into(out, t0, t1)
+        return out.reshape(self.num_sources, -1)[:, :nt]
 
     def _reference_pressure(self, prefix, t0, t1, h_flow, P):
         pref = jnp.asarray(
-            [
-                self._pref_initial[i]
-                if getattr(s, f"{prefix}_pref_mode") == PREF_INITIAL
-                else getattr(s, f"{prefix}_pref")
-                for i, s in enumerate(self.specs)
-            ]
+            np.where(
+                np.asarray(
+                    [
+                        getattr(s, f"{prefix}_pref_mode") == PREF_INITIAL
+                        for s in self.specs
+                    ],
+                    bool,
+                ),
+                self._pref_initial,
+                np.asarray(
+                    [getattr(s, f"{prefix}_pref") for s in self.specs]
+                ),
+            )
         )
-        for i, s in enumerate(self.specs):
-            mode = getattr(s, f"{prefix}_pref_mode")
-            tab = getattr(s, f"{prefix}_pref_table")
-            if tab is None:
-                continue
-            if mode == PREF_TIME:
-                pref = pref.at[i].set(tab.average(t0, t1)[0])
-            elif mode == PREF_ENTHALPY:
-                pref = pref.at[i].set(tab(h_flow[i])[0])
-            elif mode == PREF_PRESSURE:
-                pref = pref.at[i].set(tab(P[i])[0])
+        upd = self._pref_updates[prefix]
+        for u in upd[PREF_TIME]:
+            pref = u.average_into(pref, t0, t1)
+        for u in upd[PREF_ENTHALPY]:
+            pref = u.eval_into(pref, h_flow)
+        for u in upd[PREF_PRESSURE]:
+            pref = u.eval_into(pref, P)
         return pref
 
     def _separated(self, q, h):
-        """Per-source separated water/steam flows; zero when not
-        producing or no separator (source_network_node.F90:116-158)."""
+        """Per-source separated water/steam flows, vectorised over
+        sources and stacked stages; zero when not producing or no
+        separator (source_network_node.F90:116-158,
+        separator.F90:141-166, multi-stage :215-260)."""
         ns = self.num_sources
         z = jnp.zeros(ns)
-        qw, hw, qs, hs = z, z, z, z
-        for i, s in enumerate(self.specs):
-            if not s.separator.on:
-                continue
-            qwi, hwi, qsi, hsi = s.separator.separate(q[i], h[i])
-            producing = q[i] < 0.0
-            qw = qw.at[i].set(jnp.where(producing, qwi, 0.0))
-            hw = hw.at[i].set(jnp.where(producing, hwi, 0.0))
-            qs = qs.at[i].set(jnp.where(producing, qsi, 0.0))
-            hs = hs.at[i].set(jnp.where(producing, hsi, 0.0))
+        if not self.has_separators:
+            return z, z, z, z
+        q_in, h_in = q, h
+        steam_mass = z
+        steam_energy = z
+        qr, hr = q, h
+        for st in range(self._sep_hw.shape[1]):
+            active = self._sep_stage[:, st]
+            hw_ref = self._sep_hw[:, st]
+            hs_ref = self._sep_hs[:, st]
+            sf = jnp.where(
+                hr <= hw_ref,
+                0.0,
+                jnp.where(
+                    hr <= hs_ref,
+                    (hr - hw_ref)
+                    / jnp.where(hs_ref > hw_ref, hs_ref - hw_ref, 1.0),
+                    1.0,
+                ),
+            )
+            hs_st = jnp.where(
+                hr <= hw_ref, 0.0, jnp.where(hr <= hs_ref, hs_ref, hr)
+            )
+            hw_st = jnp.where(
+                hr <= hw_ref, hr, jnp.where(hr <= hs_ref, hw_ref, 0.0)
+            )
+            sf = jnp.where(active, sf, 0.0)
+            qs_st = sf * qr
+            steam_mass = steam_mass + qs_st
+            steam_energy = steam_energy + qs_st * hs_st
+            qr = (1.0 - sf) * qr
+            hr = jnp.where(active, hw_st, hr)
+        hs_out = jnp.where(
+            jnp.abs(steam_mass) > RATE_TOL,
+            steam_energy
+            / jnp.where(jnp.abs(steam_mass) > RATE_TOL, steam_mass, 1.0),
+            0.0,
+        )
+        keep = self._sep_on & (q_in < 0.0)
+        qw = jnp.where(keep, qr, 0.0)
+        hw = jnp.where(keep, hr, 0.0)
+        qs = jnp.where(keep, steam_mass, 0.0)
+        hs = jnp.where(keep, hs_out, 0.0)
         return qw, hw, qs, hs
 
     # -- groups + reinjectors (lagged in the Jacobian) ----------------
