@@ -769,12 +769,20 @@ class SourceNetwork:
 
     def flows(self, fluid, t0, t1):
         """Returns (rate [ns], enthalpy [ns]): signed source rates and
-        effective (injection or flowing) enthalpies. Fully vectorised
-        over sources: per-source controls are batched table stacks
+        effective (injection or flowing) enthalpies."""
+        from waiwera_tpu.sim.sources import gather_cell_state
+
+        return self.flows_from_state(
+            gather_cell_state(fluid, self.arrays.cell), t0, t1
+        )
+
+    def flows_from_state(self, state, t0, t1):
+        """The network update on a gathered per-source cell state
+        (SourceCellState). Fully vectorised over sources: per-source
+        controls are batched table stacks
         (utils.interpolation.StackedTables); no Python loop is traced
         except the tiny group/reinjector DAG."""
         ns = self.num_sources
-        cell = self.arrays.cell
         q = jnp.asarray(self._base_rate)
         h_inj = jnp.asarray(self._base_enthalpy)
         for upd in self._upd_rate:
@@ -782,16 +790,16 @@ class SourceNetwork:
         for upd in self._upd_enthalpy:
             h_inj = upd.average_into(h_inj, t0, t1)
 
-        P = fluid.pressure[cell]
-        pf = fluid.permeability_factor[cell]
+        P = state.pressure
+        pf = state.permeability_factor
         if self.isothermal:
             h_flow = jnp.zeros(ns)
         else:
-            frac = fluid.phase_flow_fractions()[cell]
-            h_flow = jnp.sum(frac * fluid.specific_enthalpy[cell], axis=-1)
+            frac = state.phase_flow_fractions
+            h_flow = jnp.sum(frac * state.specific_enthalpy, axis=-1)
 
         if self.has_deliv:
-            mob_tot = jnp.sum(fluid.mobility()[cell], axis=-1)
+            mob_tot = jnp.sum(state.mobility, axis=-1)
             pi = jnp.asarray(self._deliv_pi_base)
             for upd in self._upd_deliv_pi:
                 pi = upd.average_into(pi, t0, t1)

@@ -36,6 +36,34 @@ class SourceArrays(NamedTuple):
     volume: Array  # [ns] volume of host cell
 
 
+class SourceCellState(NamedTuple):
+    """Fluid state gathered at source cells [ns, ...].
+
+    Decouples the network update from the cell layout: on a single
+    device this is a plain gather; distributed, each device gathers
+    its owned sources and a psum replicates the full per-source state
+    (the analogue of the reference's MPI gathers in
+    source_network.F90:91-127)."""
+
+    pressure: Array  # [ns]
+    permeability_factor: Array  # [ns]
+    phase_flow_fractions: Array  # [ns, np]
+    specific_enthalpy: Array  # [ns, np]
+    mass_fraction: Array  # [ns, np, nc]
+    mobility: Array  # [ns, np]
+
+
+def gather_cell_state(fluid: FluidState, cell: Array) -> SourceCellState:
+    return SourceCellState(
+        pressure=fluid.pressure[cell],
+        permeability_factor=fluid.permeability_factor[cell],
+        phase_flow_fractions=fluid.phase_flow_fractions()[cell],
+        specific_enthalpy=fluid.specific_enthalpy[cell],
+        mass_fraction=fluid.mass_fraction[cell],
+        mobility=fluid.mobility()[cell],
+    )
+
+
 @dataclass
 class SourceControls:
     """Host-side time controls for rates/enthalpies."""

@@ -44,7 +44,14 @@ def block_jacobi(
 
 class ILU0Data(NamedTuple):
     """Static split of the sparsity into strictly-lower / strictly-upper
-    parts (host-built)."""
+    parts (host-built).
+
+    lower_trans_pos: optional host-precomputed position of the
+    transposed block A_ji for each lower A_ij; required when the
+    position arrays are padded (distributed builds pad every device to
+    a common count with sentinel positions pointing at an appended
+    zero block), because the traced searchsorted fallback assumes an
+    unpadded sorted key."""
 
     lower_pos: Array  # positions in data of strictly lower blocks
     lower_rows: Array
@@ -52,6 +59,7 @@ class ILU0Data(NamedTuple):
     upper_pos: Array
     upper_rows: Array
     upper_cols: Array
+    lower_trans_pos: Array = None
 
 
 def ilu0_split(structure: BSRStructure) -> ILU0Data:
@@ -96,11 +104,16 @@ def dilu(matrix: BSRMatrix, split: ILU0Data, sweeps: int = 3, dtype=None):
     # contribution sum_{j<i} A_ij inv(D_j) A_ji: pair lower (i,j) with
     # upper (j,i) — positions correspond via transposed sparsity.
     # Approximate using inv of the unmodified diagonal.
+    trans = (
+        matrix.data[split.lower_trans_pos]
+        if split.lower_trans_pos is not None
+        else _transpose_blocks(matrix, split)
+    )
     corr = jnp.einsum(
         "kij,kjl,klm->kim",
         lower,
         inv0[split.lower_cols],
-        _transpose_blocks(matrix, split),
+        trans,
     )
     dmod = diag.at[split.lower_rows].add(-corr)
     dinv = invert_blocks(dmod)
