@@ -14,13 +14,24 @@ import os
 import sys
 
 
-def run_json(filename: str, echo_log: bool = False, platform=None):
-    """Load a JSON model file and run it. Returns the Timestepper."""
+def run_json(filename: str, echo_log: bool = False, platform=None,
+             num_devices: int = 0):
+    """Load a JSON model file and run it. Returns the Timestepper.
+
+    num_devices > 1 runs the simulation domain-decomposed over that
+    many devices of the jax platform (the analogue of `mpiexec -np N
+    waiwera`, doc/user/run.rst:140-144); 0 reads
+    config["parallel"]["devices"] (default 1 = single device).
+    """
     import jax
 
     if platform:
         jax.config.update("jax_platforms", platform)
     jax.config.update("jax_enable_x64", True)
+    if num_devices and num_devices > 1 and (platform or "") == "cpu":
+        # virtual CPU devices for multi-device runs on one host (must
+        # precede backend initialisation)
+        jax.config.update("jax_num_cpu_devices", num_devices)
 
     from waiwera_tpu.sim.simulation import Simulation
     from waiwera_tpu.sim.timestepper import Timestepper
@@ -61,6 +72,14 @@ def run_json(filename: str, echo_log: bool = False, platform=None):
     )
 
     sim = Simulation(config)
+    if not num_devices:
+        num_devices = int(
+            (config.get("parallel", {}) or {}).get("devices", 1)
+        )
+    if num_devices > 1:
+        from waiwera_tpu.parallel import DistributedSimulation
+
+        sim = DistributedSimulation(sim, num_devices)
     output = HDF5Output(out_filename, sim)
     ts = Timestepper(config, sim, output=output, logger=logger)
     try:
@@ -86,9 +105,13 @@ def main(argv=None):
     parser.add_argument(
         "--platform", default=None, help="jax platform override (cpu/tpu)"
     )
+    parser.add_argument(
+        "--devices", type=int, default=0,
+        help="run domain-decomposed over N devices (like mpiexec -np N)",
+    )
     args = parser.parse_args(argv)
     ts = run_json(args.filename, echo_log=args.echo_log,
-                  platform=args.platform)
+                  platform=args.platform, num_devices=args.devices)
     return 0 if not ts.aborted else 1
 
 

@@ -9,4 +9,4 @@ collectives inside shard_map over a jax.sharding.Mesh.
 """
 
 from waiwera_tpu.parallel.partition import PartitionPlan, build_partition
-from waiwera_tpu.parallel.spmd import DistributedSystem
+from waiwera_tpu.parallel.spmd import DistributedSimulation, DistributedSystem

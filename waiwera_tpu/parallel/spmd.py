@@ -727,3 +727,195 @@ class DistributedSystem:
             return res, fluid, lhs_new, fluxes
 
         return step
+
+
+class DistributedSimulation:
+    """Drop-in replacement for Simulation in the Timestepper/CLI: the
+    production multi-device path. All per-cell state is stacked local
+    [D, n_local, ...]; the Timestepper's step/tracer functions run
+    shard_mapped over the device mesh, and to_global() restores natural
+    cell order for HDF5 output and source post-processing (the AO
+    analogue, dm_utils.F90:782-841).
+
+    The reference runs the same executable under mpiexec (run.rst:
+    140-144); here the JSON config or CLI selects the device count and
+    everything else — adaptive stepping, retry ladder, checkpoints,
+    tracer aux solves, source networks, HDF5 output/restart — behaves
+    identically to the single-device path.
+    """
+
+    def __init__(self, sim, num_devices: int, devices=None):
+        from types import SimpleNamespace
+
+        self.base = sim
+        self.config = sim.config
+        self.eos = sim.eos
+        self.mesh = sim.mesh
+        self.tracers = sim.tracers
+        self.sources = sim.sources
+        self.dist = DistributedSystem(sim, num_devices, devices=devices)
+        d = self.dist
+        self.rock = d._rock_local
+        self.y0 = d.to_local(sim.y0)
+        self.region0 = d.to_local(sim.region0)
+        # halo/pad rows count as ghost for error/interior masks: each
+        # cell's EOS errors are checked on its owning device only
+        ghost_eff = (
+            np.asarray(sim.mesh.is_ghost)[d.plan.local_cells]
+            | ~d.plan.owned_mask
+        )
+        self.mesh_dev = SimpleNamespace(
+            is_ghost=jax.device_put(jnp.asarray(ghost_eff), d.sharding)
+        )
+
+    # -- Timestepper interface -----------------------------------------
+
+    def make_step_fn(self, newton_params, method="beuler"):
+        return self.dist.make_step_fn(newton_params, method)
+
+    def to_global(self, tree):
+        """Stacked local -> natural-order global (numpy); the AO
+        natural-ordering restore for I/O."""
+        return self.dist.from_local(tree)
+
+    def lhs_at(self, y, region):
+        """Initial balances: evaluated globally on host (init-time
+        only), then scattered to the device mesh."""
+        yg = jnp.asarray(self.dist.from_local(y))
+        rg = jnp.asarray(self.dist.from_local(region))
+        lhs, fluid, err = self.base.lhs_at(yg, rg)
+        return (
+            self.dist.to_local(lhs),
+            self.dist.to_local(fluid),
+            self.dist.to_local(err),
+        )
+
+    def initial_tracer_state(self):
+        x0, al0 = self.base.initial_tracer_state()
+        return self.dist.to_local(x0), self.dist.to_local(al0)
+
+    def make_tracer_step_fn(self):
+        """Distributed auxiliary tracer solve: local advection/
+        diffusion stencils with halo sync inside the matvec, psum'd
+        dot products, owned-row masking (the parallel analogue of the
+        reference's aux KSP gmres+bjacobi, timestepper.F90:1840-1851)."""
+        from waiwera_tpu.sim import tracer as tracer_mod
+        from waiwera_tpu.sim.tracer import TracerResult
+
+        dist = self.dist
+        sim = self.base
+        tracers = self.tracers
+        npv = self.eos.num_primary_variables
+        ghost_value = dist.to_local(jnp.asarray(sim.tracer0))
+        statics = (
+            dist._mesh_static,
+            dist._route_static,
+            dist._src_static,
+            dist._rock_local,
+        )
+        loc = P(AXIS)
+        rep = P()
+        statics_specs = jax.tree_util.tree_map(lambda _: loc, statics)
+        plan = dist.plan
+
+        def local_tracer(
+            mesh_st, route_st, src_st, rock, fluid, fluxes, x_last,
+            al_last, x_last2, al_last2, gval, t0, t1, dt, dt_last, first,
+            use_bdf2,
+        ):
+            sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+            mesh_st, route_st, rock = sq(mesh_st), sq(route_st), sq(rock)
+            if src_st is not None:
+                src_st = sq(src_st)
+            fluid, fluxes, x_last, al_last, x_last2, al_last2, gval = (
+                sq(fluid), fluxes[0], x_last[0], al_last[0], x_last2[0],
+                al_last2[0], gval[0],
+            )
+            mesh_local = MeshArrays(
+                face_cells=mesh_st["face_cells"],
+                face_area=mesh_st["face_area"],
+                face_distance=mesh_st["face_distance"],
+                face_distance12=mesh_st["face_distance12"],
+                face_gravity_normal=mesh_st["face_gravity_normal"],
+                face_permeability_direction=mesh_st[
+                    "face_permeability_direction"
+                ],
+                cell_volume=mesh_st["cell_volume"],
+                is_ghost=mesh_st["is_ghost"],
+                num_cells=plan.n_local,
+                num_interior_cells=plan.n_local,
+            )
+            owned = route_st["owned"]
+            send_idx = route_st["send_idx"]
+            recv_src = route_st["recv_src"]
+
+            def sync(a):
+                send = a[send_idx]
+                gathered = lax.all_gather(send, AXIS)
+                flat = gathered.reshape((-1,) + a.shape[1:])
+                return a.at[plan.n_owned_pad :].set(flat[recv_src])
+
+            reduce_sum = lambda v: lax.psum(v, AXIS)
+
+            if src_st is not None:
+                network = _LocalSources(
+                    dist._network,
+                    src_st["src_cell_local"],
+                    src_st["src_owner_mask"],
+                )
+                rate, _ = network.flows(fluid, t0, t1)
+                cells = network.arrays.cell
+                frac = fluid.phase_flow_fractions()[cells][
+                    :, jnp.asarray(tracers.phase_index)
+                ]
+                inj = network.tracer_injection(t0, t1)
+            else:
+                rate = cells = frac = inj = None
+
+            r = dt / dt_last
+            be = (~use_bdf2) | (first > 0.5)
+            c_al = jnp.where(be, 1.0, 1.0 + 2.0 * r)
+            dt_eff = jnp.where(be, dt, dt * (r + 1.0))
+            b_hist = jnp.where(
+                be,
+                al_last * x_last,
+                (r + 1.0) ** 2 * al_last * x_last
+                - r * r * al_last2 * x_last2,
+            )
+            res = tracer_mod.solve(
+                tracers, mesh_local, fluid, rock, fluxes, npv,
+                x_last, al_last, x_last2, al_last2, c_al, dt_eff, b_hist,
+                cells, rate, frac, inj, gval,
+                owned=owned, sync=sync, reduce_sum=reduce_sum,
+            )
+            ex = lambda a: a[None]
+            return TracerResult(
+                x=ex(res.x), al=ex(res.al),
+                converged=ex(res.converged), iterations=ex(res.iterations),
+            )
+
+        out_spec = TracerResult(x=loc, al=loc, converged=loc,
+                                iterations=loc)
+        mapped = jax.shard_map(
+            local_tracer,
+            mesh=dist.device_mesh,
+            in_specs=statics_specs
+            + (loc, loc, loc, loc, loc, loc, loc, rep, rep, rep, rep,
+               rep, rep),
+            out_specs=out_spec,
+            check_vma=False,
+        )
+
+        @jax.jit
+        def tracer_step(fluid, fluxes, x_last, al_last, x_last2,
+                        al_last2, t0, t1, dt, dt_last, first, use_bdf2):
+            res = mapped(
+                *statics, fluid, fluxes, x_last, al_last, x_last2,
+                al_last2, ghost_value, t0, t1, dt, dt_last, first,
+                use_bdf2,
+            )
+            return res._replace(
+                converged=res.converged[0], iterations=res.iterations[0]
+            )
+
+        return tracer_step

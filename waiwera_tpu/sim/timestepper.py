@@ -260,9 +260,10 @@ class Timestepper:
         wall0 = _walltime.time()
 
         if self.output_initial and self.output is not None:
-            self.output.write(self.output_index, t, fluid,
-                              self._source_output(fluid, t, dt_last, aux_x),
-                              tracer=aux_x)
+            fg, xg = self._out_state(fluid, aux_x)
+            self.output.write(self.output_index, t, fg,
+                              self._source_output(fg, t, dt_last, xg),
+                              tracer=xg)
             self.output_index += 1
 
         # fixed-size sequence state (timestepper.F90:1381-1453)
@@ -458,11 +459,11 @@ class Timestepper:
                     self.checkpoints.hit
                     or since_output == self.output_frequency
                 ):
+                    fg, xg = self._out_state(fluid, aux_x)
                     self.output.write(
-                        self.output_index, t, fluid,
-                        self._source_output(fluid, t - dt_last, dt_last,
-                                            aux_x),
-                        tracer=aux_x)
+                        self.output_index, t, fg,
+                        self._source_output(fg, t - dt_last, dt_last, xg),
+                        tracer=xg)
                     self.output_index += 1
                     if self.checkpoints.hit:
                         self.checkpoints.update()
@@ -482,9 +483,10 @@ class Timestepper:
             and self.output_final
             and since_output > 0
         ):
-            self.output.write(self.output_index, t, fluid,
-                              self._source_output(fluid, t, dt_last, aux_x),
-                              tracer=aux_x)
+            fg, xg = self._out_state(fluid, aux_x)
+            self.output.write(self.output_index, t, fg,
+                              self._source_output(fg, t, dt_last, xg),
+                              tracer=xg)
             self.output_index += 1
         log.write(
             "info",
@@ -555,6 +557,19 @@ class Timestepper:
                 else:
                     accepted, next_stepsize = adapt(status, dt)
         return accepted, next_stepsize, adaptor_on, fixed_index
+
+    def _out_state(self, fluid, aux_x):
+        """Convert step state to natural-order global arrays for output
+        (identity single-device; AO restore via
+        DistributedSimulation.to_global in multi-device runs)."""
+        tg = getattr(self.sim, "to_global", None)
+        if tg is None:
+            return fluid, aux_x
+        import jax.tree_util as jtu
+
+        asj = lambda t: jtu.tree_map(jnp.asarray, t)
+        fg = asj(tg(fluid))
+        return fg, (None if aux_x is None else asj(tg(aux_x)))
 
     def _source_output(self, fluid, t0, dt, aux_x=None):
         if self.sim.sources is None:

@@ -114,6 +114,9 @@ def solve(
     ghost_value: Array,
     rtol: float = 1e-5,
     max_iterations: int = 1000,
+    owned: Optional[Array] = None,
+    sync=None,
+    reduce_sum=None,
 ) -> TracerResult:
     """One auxiliary solve.
 
@@ -122,6 +125,14 @@ def solve(
     source_frac: [ns, nt] tracer-phase flow fractions at source cells.
     tracer_injection: [ns, nt] injection rates.
     ghost_value: [N, nt] Dirichlet values for ghost rows.
+
+    Distributed hooks (parallel.spmd, the aux-solve analogue of the
+    reference's parallel KSP gmres+bjacobi, timestepper.F90:1840-1851):
+    owned [N] masks rows to the owning device (halo rows stay zero
+    through the Krylov iteration), sync is the overlap-1 halo exchange
+    applied inside the matvec before face gathers, and reduce_sum
+    combines dot products across devices. On a single device all three
+    default to identities.
     """
     from waiwera_tpu.solver import krylov
 
@@ -183,6 +194,7 @@ def solve(
     fixed = jnp.where(is_ghost[:, None], ghost_value, 0.0)
 
     gidx = jnp.arange(nt)
+    own = None if owned is None else owned[:, None]
 
     def ar_matvec(x):
         out = (decay_diag + prod_diag) * x
@@ -197,10 +209,14 @@ def solve(
         return out
 
     def a_matvec(x):
-        ax = c_al * al * x - dt_eff * ar_matvec(x)
-        return jnp.where(identity_row, x, ax)
+        xs = x if sync is None else sync(x)
+        ax = c_al * al * xs - dt_eff * ar_matvec(xs)
+        ax = jnp.where(identity_row, xs, ax)
+        return ax if own is None else jnp.where(own, ax, 0.0)
 
     b = jnp.where(identity_row, fixed, b_hist + dt_eff * brhs)
+    if own is not None:
+        b = jnp.where(own, b, 0.0)
 
     # exact diagonal for Jacobi preconditioning
     diag_ar = decay_diag + prod_diag
@@ -216,13 +232,16 @@ def solve(
     diag = jnp.where(identity_row, 1.0, c_al * al - dt_eff * diag_ar)
     inv_diag = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 1.0)
 
+    kw = {} if reduce_sum is None else {"reduce_sum": reduce_sum}
     res = krylov.solve(
         "gmres",
         a_matvec,
         b,
         precond=lambda v: v * inv_diag,
         rtol=rtol,
+        **kw,
     )
+    x = res.x if sync is None else sync(res.x)
     return TracerResult(
-        x=res.x, al=al, converged=res.converged, iterations=res.iterations
+        x=x, al=al, converged=res.converged, iterations=res.iterations
     )
