@@ -7,6 +7,14 @@ a deliverability production well and a cold reinjection well. One
 implicit timestep = residuals + AD block-Jacobian + BiCGStab Krylov
 solves + phase-transition passes, all on the attached accelerator.
 
+Timing methodology: on tunneled/async backends `block_until_ready` may
+ack before the device finishes, so every measured region is forced by a
+real data dependency — each launch consumes a scalar derived from the
+previous launch's output, and the region ends with a host transfer.
+Sub-millisecond ops (SpMV, triad) are chained inside one jit via
+lax.fori_loop and measured by the slope between two chain lengths,
+which also cancels the host round-trip latency.
+
 Reported alongside the headline dof/s (extra keys in the same JSON
 line):
 - spmv_nnz_per_s + spmv_roofline_fraction: the assembled Jacobian's
@@ -16,11 +24,15 @@ line):
 - assembly_seconds / linear_seconds: one residual+Jacobian evaluation
   vs one full linear solve (where the reference says the time goes,
   doc/user/methods.rst:176).
+- spmv_path: which SpMV implementation the flagship solve used
+  (pallas-dia / jnp-dia / ell).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Baseline: BASELINE.json has no published numbers (the reference
-publishes none); vs_baseline is measured against the previous recorded
-value in bench_history.json when present, else 1.0.
+The headline keys are computed first; every extra section is
+best-effort (a failure there annotates the JSON instead of losing the
+headline). Baseline: BASELINE.json has no published numbers (the
+reference publishes none); vs_baseline is measured against the
+previous recorded value in bench_history.json when present, else 1.0.
 """
 
 import json
@@ -28,6 +40,68 @@ import os
 import time
 
 import numpy as np
+
+
+def _is_oom(e: Exception) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return any(
+        k in s
+        for k in (
+            "RESOURCE_EXHAUSTED",
+            "Out of memory",
+            "out of memory",
+            "OOM",
+            "Resource exhausted",
+        )
+    )
+
+
+def _dep_scalar(x):
+    """A tiny eager program depending on x: forces ordering on any
+    backend when added (times 0) to the next launch's input."""
+    return x.reshape(-1)[0] * 0.0
+
+
+def _force(x) -> float:
+    """Host transfer: completes every program x depends on."""
+    return float(np.asarray(x.reshape(-1)[0]))
+
+
+def time_chained(launch, reps, warmed_out):
+    """seconds/launch for a python-level launch loop.
+
+    launch(dep) -> output array; each launch's input is perturbed by
+    +0.0*dep (a scalar from the previous output), building a real
+    dependency chain; the region ends with a host pull. One extra
+    round-trip (~tens of ms over a tunnel) is amortised over reps.
+    """
+    best = float("inf")
+    for _ in range(2):
+        dep = _dep_scalar(warmed_out)
+        t0 = time.perf_counter()
+        out = warmed_out
+        for _ in range(reps):
+            out = launch(dep)
+            dep = _dep_scalar(out)
+        _force(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def time_fori(make_chain, k1=5, k2=55):
+    """seconds/iteration for a jitted fori_loop chain; slope between
+    two chain lengths cancels fixed costs and the host round-trip."""
+    ts = {}
+    for k in (k1, k2):
+        f = make_chain(k)
+        _force(f())  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(f())
+            best = min(best, time.perf_counter() - t0)
+        ts[k] = best
+    return max((ts[k2] - ts[k1]) / (k2 - k1), 1e-12)
 
 
 def build_sim(nx, ny, nz):
@@ -79,28 +153,29 @@ def build_sim(nx, ny, nz):
     return Simulation(config, mesh=mesh), n
 
 
-def measure_bandwidth(reps=10):
-    """Measured streaming-triad bandwidth (bytes/s) on the device —
-    the memory speed-of-light reference for the SpMV roofline."""
+def measure_bandwidth():
+    """Measured streaming-triad bandwidth (bytes/s): the memory
+    speed-of-light reference for the SpMV roofline."""
     import jax
     import jax.numpy as jnp
 
-    n = 32 * 1024 * 1024  # 128 MB per f32 array
-    a = jnp.ones(n, jnp.float32)
-    b = jnp.full(n, 2.0, jnp.float32)
+    n = 16 * 1024 * 1024  # 64 MB per f32 array
+    b = jnp.full(n, 1e-9, jnp.float32)
 
-    @jax.jit
-    def triad(a, b):
-        return a + 1.5 * b
+    def make_chain(k):
+        @jax.jit
+        def run():
+            a0 = jnp.ones(n, jnp.float32)
 
-    triad(a, b).block_until_ready()
-    best = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        triad(a, b).block_until_ready()
-        dt = time.perf_counter() - t0
-        best = max(best, 3.0 * 4.0 * n / dt)
-    return best
+            def body(i, a):
+                return a + 1.5 * b  # read a, b; write a
+
+            return jax.lax.fori_loop(0, k, body, a0)[:1]
+
+        return run
+
+    per = time_fori(make_chain)
+    return 3.0 * 4.0 * n / per
 
 
 def main():
@@ -142,95 +217,35 @@ def main():
             step = sim.make_step_fn(params, "beuler")
             lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)
             dt = jnp.asarray(1.0e5)
-            args = (
+
+            def launch_step(dep, _step=step, _sim=sim, _f0=fluid0,
+                            _lhs0=lhs0, _dt=dt):
+                res, fluid, lhs_new, fluxes = _step(
+                    _sim.y0 + dep, _sim.region0, _f0.temperature,
+                    _lhs0, _lhs0, jnp.asarray(0.0), _dt, _dt,
+                    jnp.asarray(1.0),
+                )
+                return res.y
+
+            out = launch_step(jnp.asarray(0.0))
+            _force(out)  # compile + run once, catches OOM
+            res, _, _, _ = step(
                 sim.y0, sim.region0, fluid0.temperature, lhs0, lhs0,
                 jnp.asarray(0.0), dt, dt, jnp.asarray(1.0),
             )
-            res, fluid, lhs_new, fluxes = step(*args)  # compile+warmup
-            res.y.block_until_ready()
+            iterations = int(res.iterations)
             break
-        except Exception as e:  # OOM etc: drop a size
-            print(f"# bench size {nx}x{ny}x{nz} failed: {e!r}", flush=True)
+        except Exception as e:
+            if not _is_oom(e):
+                raise
+            print(f"# bench size {nx}x{ny}x{nz} OOM: {e!r}", flush=True)
             sim = None
     if sim is None:
         raise SystemExit("no bench size fits the device")
-    iterations = int(res.iterations)
 
     reps = int(os.environ.get("BENCH_REPS", 5))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        res, fluid, lhs_new, fluxes = step(*args)
-        res.y.block_until_ready()
-    step_seconds = (time.perf_counter() - t0) / reps
+    step_seconds = time_chained(launch_step, reps, out)
     dof_per_s = n * npv / step_seconds
-
-    # ---- assembly / linear-solve split -------------------------------
-    system = sim.system
-    coeffs = MethodCoeffs(c_lhs=jnp.asarray(1.0), dt_eff=dt, const=-lhs0)
-
-    @jax.jit
-    def assemble(y):
-        r, L, fx, err, mat = system.residual_and_jacobian(
-            y, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt,
-            tangent_dtype=(
-                jnp.float32 if jacobian_dtype.startswith("f") and
-                "32" in jacobian_dtype else None
-            ),
-        )
-        return r, mat.data
-
-    r0, _ = assemble(sim.y0)
-    r0.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r, data = assemble(sim.y0)
-        data.block_until_ready()
-    assembly_seconds = (time.perf_counter() - t0) / reps
-
-    _, _, _, _, mat = system.residual_and_jacobian(
-        sim.y0, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt
-    )
-    ldtype = jnp.float32 if "32" in linear_dtype else None
-    mv, pc = system.make_linear_operator(mat, linear_pc, dtype=ldtype)
-    b_rhs = -r0.astype(ldtype or r0.dtype)
-
-    @jax.jit
-    def linsolve(b):
-        return krylov.solve("bcgs", mv, b, precond=pc, rtol=1e-5)
-
-    lr = linsolve(b_rhs)
-    lr.x.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        lr = linsolve(b_rhs)
-        lr.x.block_until_ready()
-    linear_seconds = (time.perf_counter() - t0) / reps
-    linear_its = int(lr.iterations)
-
-    # ---- SpMV roofline ------------------------------------------------
-    # nnz of the block Jacobian (diag + 2 blocks/interior face)
-    nnzb = int(system.structure.indices.shape[0])
-    nnz = nnzb * npv * npv
-    mv32 = system.make_matvec(mat, jnp.float32)
-    x = jnp.ones((mat.structure.num_rows, npv), jnp.float32)
-
-    @jax.jit
-    def spmv(x):
-        return mv32(x)
-
-    y = spmv(x)
-    y.block_until_ready()
-    sp_reps = 50
-    t0 = time.perf_counter()
-    for _ in range(sp_reps):
-        y = spmv(y / jnp.float32(2.0))
-        y.block_until_ready()
-    spmv_seconds = (time.perf_counter() - t0) / sp_reps
-    nnz_per_s = nnz / spmv_seconds
-    # bytes at speed of light: band data + one x read + one y write
-    spmv_bytes = 4.0 * (nnz + 2 * mat.structure.num_rows * npv)
-    bw = measure_bandwidth()
-    roofline = (spmv_bytes / spmv_seconds) / bw if bw else 0.0
 
     hist_file = os.path.join(os.path.dirname(__file__),
                              "bench_history.json")
@@ -241,15 +256,9 @@ def main():
         except Exception:
             baseline = None
     vs = dof_per_s / baseline if baseline else 1.0
-    try:
-        json.dump({"dof_step_per_s": dof_per_s,
-                   "cells": n, "newton_iterations": iterations,
-                   "step_seconds": step_seconds},
-                  open(hist_file, "w"))
-    except Exception:
-        pass
 
-    print(json.dumps({
+    # ---- headline exists from here; extras are best-effort -----------
+    result = {
         "metric": "implicit_timestep_dof_per_s",
         "value": dof_per_s,
         "unit": "dof/s",
@@ -259,13 +268,133 @@ def main():
         "eos": "wge",
         "newton_iterations": iterations,
         "step_seconds": step_seconds,
-        "assembly_seconds": assembly_seconds,
-        "linear_solve_seconds": linear_seconds,
-        "linear_iterations": linear_its,
-        "spmv_nnz_per_s": nnz_per_s,
-        "spmv_roofline_fraction": roofline,
-        "measured_bandwidth_gb_s": bw / 1e9,
-    }))
+    }
+
+    try:
+        system = sim.system
+        coeffs = MethodCoeffs(c_lhs=jnp.asarray(1.0), dt_eff=dt,
+                              const=-lhs0)
+        tangent = (
+            jnp.float32
+            if "32" in jacobian_dtype
+            else None
+        )
+
+        @jax.jit
+        def assemble(y):
+            r, L, fx, err, mat = system.residual_and_jacobian(
+                y, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt,
+                tangent_dtype=tangent,
+            )
+            return r, mat.data
+
+        def launch_assemble(dep):
+            r, data = assemble(sim.y0 + dep)
+            return data
+
+        a_out = launch_assemble(jnp.asarray(0.0))
+        _force(a_out)
+        result["assembly_seconds"] = time_chained(
+            launch_assemble, reps, a_out
+        )
+
+        r0, _ = assemble(sim.y0)
+        _, _, _, _, mat = system.residual_and_jacobian(
+            sim.y0, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt
+        )
+        ldtype = jnp.float32 if "32" in linear_dtype else None
+        mv, pc = system.make_linear_operator(mat, linear_pc,
+                                             dtype=ldtype)
+        b_rhs = -r0.astype(ldtype or r0.dtype)
+
+        @jax.jit
+        def linsolve(b):
+            res = krylov.solve("bcgs", mv, b, precond=pc, rtol=1e-5)
+            return res.x, res.iterations
+
+        def launch_linsolve(dep):
+            x, its = linsolve(b_rhs + dep)
+            return x
+
+        l_out = launch_linsolve(jnp.asarray(0.0, b_rhs.dtype))
+        _force(l_out)
+        result["linear_solve_seconds"] = time_chained(
+            launch_linsolve, reps, l_out
+        )
+        result["linear_iterations"] = int(linsolve(b_rhs)[1])
+    except Exception as e:
+        result["split_error"] = repr(e)
+
+    # ---- SpMV roofline ------------------------------------------------
+    try:
+        from waiwera_tpu.ops import dia as ops_dia
+
+        nnzb = int(system.structure.indices.shape[0])
+        nnz = nnzb * npv * npv
+        mv32 = system.make_matvec(mat, jnp.float32)
+        if system.dia is None:
+            result["spmv_path"] = "ell"
+        elif ops_dia._use_pallas(jnp.float32):
+            result["spmv_path"] = "pallas-dia"
+        else:
+            result["spmv_path"] = "jnp-dia"
+
+        # scale so chained applications neither overflow nor denormal
+        # -underflow: measured matvec work is unchanged
+        nrows = mat.structure.num_rows
+
+        def make_chain(k):
+            @jax.jit
+            def run():
+                x0 = jnp.full((nrows, npv), 1.0, jnp.float32)
+
+                def body(i, x):
+                    y = mv32(x)
+                    m = jnp.max(jnp.abs(y)) + jnp.float32(1e-30)
+                    return y * (jnp.float32(1.0) / m)
+
+                return jax.lax.fori_loop(0, k, body, x0)
+
+            return run
+
+        per = time_fori(make_chain)
+        # subtract the normalisation cost (max + rescale: ~2 extra
+        # passes over x) measured on its own
+        def make_norm_chain(k):
+            @jax.jit
+            def run():
+                x0 = jnp.full((nrows, npv), 1.0, jnp.float32)
+
+                def body(i, x):
+                    m = jnp.max(jnp.abs(x)) + jnp.float32(1e-30)
+                    return x * (jnp.float32(1.0) / m)
+
+                return jax.lax.fori_loop(0, k, body, x0)
+
+            return run
+
+        norm_per = time_fori(make_norm_chain)
+        spmv_seconds = max(per - norm_per, 1e-12)
+        result["spmv_nnz_per_s"] = nnz / spmv_seconds
+        # bytes at speed of light: band data + one x read + one y write
+        spmv_bytes = 4.0 * (nnz + 2 * nrows * npv)
+        bw = measure_bandwidth()
+        result["spmv_roofline_fraction"] = (
+            (spmv_bytes / spmv_seconds) / bw if bw else 0.0
+        )
+        result["measured_bandwidth_gb_s"] = bw / 1e9
+    except Exception as e:
+        result["spmv_error"] = repr(e)
+
+    try:
+        json.dump({"dof_step_per_s": dof_per_s,
+                   "cells": n, "newton_iterations": iterations,
+                   "step_seconds": step_seconds},
+                  open(hist_file, "w"))
+    except Exception:
+        pass
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

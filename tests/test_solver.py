@@ -428,6 +428,56 @@ def test_jacobian_float32_tangents():
     np.testing.assert_allclose(d32 / scale, d64 / scale, atol=2e-4)
 
 
+def test_jacobian_float32_tangents_under_two_jits():
+    """Regression for the round-2 bench crash: _mesh_cast used to
+    cache traced arrays on self, so the f32-Jacobian path died with an
+    UnexpectedTracerError on the SECOND distinct jit that traced it.
+    Production use is always under jit, so this must work under two
+    different jits on one System instance."""
+    import jax
+    from waiwera_tpu.solver.system import MethodCoeffs
+
+    sim = _rect_system(6, 5, 4)
+    system = sim.system
+    lhs0, _, _ = sim.lhs_at(sim.y0, sim.region0)
+    coeffs = MethodCoeffs(
+        c_lhs=jnp.asarray(1.0), dt_eff=jnp.asarray(1e4), const=-lhs0
+    )
+
+    @jax.jit
+    def jit_a(y):
+        out = system.residual_and_jacobian(
+            y, sim.region0, sim.rock, coeffs,
+            jnp.asarray(0.0), jnp.asarray(1e4),
+            tangent_dtype=jnp.float32,
+        )
+        return out[0], out[4].data
+
+    @jax.jit
+    def jit_b(y):
+        # different jit, different output shape -> fresh trace
+        out = system.residual_and_jacobian(
+            y, sim.region0, sim.rock, coeffs,
+            jnp.asarray(0.0), jnp.asarray(1e4),
+            tangent_dtype=jnp.float32,
+        )
+        return out[4].data.sum()
+
+    r_a, data_a = jit_a(sim.y0)
+    s_b = jit_b(sim.y0)  # used to raise UnexpectedTracerError
+    assert np.isfinite(float(s_b))
+    np.testing.assert_allclose(
+        float(np.asarray(data_a).sum()), float(s_b), rtol=1e-4
+    )
+    # and eager after jit still works
+    out = system.residual_and_jacobian(
+        sim.y0, sim.region0, sim.rock, coeffs,
+        jnp.asarray(0.0), jnp.asarray(1e4),
+        tangent_dtype=jnp.float32,
+    )
+    assert np.all(np.isfinite(np.asarray(out[4].data)))
+
+
 def test_newton_with_float32_jacobian_converges():
     """End-to-end Newton step with f32 Jacobian + f32 Krylov reaches
     the same solution as the f64 path."""

@@ -25,22 +25,32 @@ def run_json(filename: str, echo_log: bool = False, platform=None,
     """
     import jax
 
+    base = os.path.dirname(os.path.abspath(filename))
+    with open(filename) as f:
+        config = json.load(f)
+
     if platform:
         jax.config.update("jax_platforms", platform)
     jax.config.update("jax_enable_x64", True)
-    if num_devices and num_devices > 1 and (platform or "") == "cpu":
-        # virtual CPU devices for multi-device runs on one host (must
-        # precede backend initialisation)
-        jax.config.update("jax_num_cpu_devices", num_devices)
+    # pre-read parallel.devices BEFORE any backend initialisation:
+    # Simulation(config) initialises the JAX backend, after which
+    # jax_num_cpu_devices has no effect and a config-driven
+    # multi-device CPU run would build a mesh smaller than its
+    # partition (waiwera.F90's mpiexec -np N analogue must be known
+    # up front)
+    cfg_devices = int((config.get("parallel", {}) or {}).get("devices", 1))
+    eff_devices = num_devices if num_devices else cfg_devices
+    if eff_devices > 1:
+        resolved = platform or os.environ.get(
+            "JAX_PLATFORMS", ""
+        ).split(",")[0]
+        if resolved in ("", "cpu"):
+            jax.config.update("jax_num_cpu_devices", eff_devices)
 
     from waiwera_tpu.sim.simulation import Simulation
     from waiwera_tpu.sim.timestepper import Timestepper
     from waiwera_tpu.sim.output import HDF5Output
     from waiwera_tpu.utils.logging import Logger
-
-    base = os.path.dirname(os.path.abspath(filename))
-    with open(filename) as f:
-        config = json.load(f)
 
     # mesh / restart filenames are relative to the JSON file
     mesh_cfg = config.get("mesh")
@@ -72,10 +82,7 @@ def run_json(filename: str, echo_log: bool = False, platform=None,
     )
 
     sim = Simulation(config)
-    if not num_devices:
-        num_devices = int(
-            (config.get("parallel", {}) or {}).get("devices", 1)
-        )
+    num_devices = eff_devices
     if num_devices > 1:
         from waiwera_tpu.parallel import DistributedSimulation
 

@@ -65,10 +65,7 @@ class DIAMatrix(NamedTuple):
 
     def matvec(self, x: Array) -> Array:
         """y = A @ x, x and y of shape [N, b]."""
-        halo = max((abs(int(d)) for d in self.offsets), default=0)
-        # window DMA waste grows with the largest band offset; past
-        # one tile of halo the fused-XLA path wins
-        if halo <= _TILE and _use_pallas(self.bands.dtype):
+        if _use_pallas(self.bands.dtype):
             return pallas_matvec(self, x)
         return jnp_matvec(self, x)
 
@@ -282,92 +279,238 @@ def dia_dilu(
 
 
 # ---------------------------------------------------------------------
-# Pallas TPU kernel
+# Pallas TPU kernel (8-way interleaved band layout)
 # ---------------------------------------------------------------------
+#
+# Cells are mapped to a (sublane, lane) coordinate: cell c = q*8 + s
+# lives at sublane s, lane q. Every array (bands, x, y) uses this
+# layout, so each band's multiply-add is a fully-packed [8, T] VPU op
+# (the earlier cells-on-lanes-only layout ran 1-D [T] vectors at 1/8
+# VPU utilisation and needed sublane-padded x DMAs at 8/b bandwidth
+# waste). A shift by band offset d decomposes into a lane shift by
+# d//8 plus a sublane rotation by d%8 — and the far mesh bands
+# (±nx, ±nx·ny) are almost always multiples of 8, i.e. pure
+# (free) lane shifts. x windows arrive as pipelined BlockSpec streams
+# (one per distinct block offset), so Pallas double-buffers them with
+# the band stream; there are no manual DMAs and no alignment hazards.
+
+_Q = 8  # sublane interleave factor (f32 sublane tile)
 
 
-def _dia_kernel(offsets: Sequence[int], b: int, halo_al: int, tile: int):
-    """Kernel factory. Band data arrives as [D*b*b, T] tiles in VMEM;
-    x stays in HBM ([b, Npad + 2*halo_al]) and ONE lane-aligned window
-    [b, T + 2*halo_al] is DMA'd per tile (Mosaic requires 128-aligned
-    DMA lane offsets); each band's shifted view is then a static
-    in-VMEM slice."""
-    from jax.experimental import pallas as pl
+class PallasDIAMatrix(NamedTuple):
+    """Band matrix pre-packed in the interleaved Pallas layout.
+
+    bands8[(k*b + ii)*b + j, s, q] = block element (ii, j) of band k
+    at cell q*8+s. Built once per Jacobian (to_dia_pallas) and reused
+    across all Krylov iterations.
+    """
+
+    offsets: tuple
+    bands8: Array  # [D*b*b*8, n_pad//8]
+    block_size: int
+    num_rows: int
+    n_pad: int
+
+    def matvec(self, x: Array) -> Array:
+        return _pallas_matvec8(self, x)
+
+
+def to_dia_pallas(
+    mat, dia: DIAStructure, dtype=jnp.float32
+) -> PallasDIAMatrix:
+    """Pack assembled BSR data directly into the interleaved Pallas
+    band layout (one fused gather, like to_dia)."""
+    b = dia.block_size
+    bb = b * b
+    D = len(dia.offsets)
+    n_pad = dia.band_pos.shape[1]
+    nq = n_pad // _Q
+    flat = jnp.concatenate(
+        [mat.data.reshape(-1), jnp.zeros((bb,), mat.data.dtype)]
+    )
+    # pos_il[k, s, q] = band_pos[k, q*8+s]
+    pos_il = dia.band_pos.reshape(D, nq, _Q).transpose(0, 2, 1)
+    idx = (
+        pos_il[:, None, :, :] * bb
+        + jnp.arange(bb, dtype=jnp.int32)[None, :, None, None]
+    )  # [D, bb, 8, nq]
+    bands8 = flat[idx].reshape(D * bb * _Q, nq)
+    if dtype is not None:
+        bands8 = bands8.astype(dtype)
+    return PallasDIAMatrix(
+        offsets=dia.offsets,
+        bands8=bands8,
+        block_size=b,
+        num_rows=dia.num_rows,
+        n_pad=n_pad,
+    )
+
+
+def _interleave_bands(m: DIAMatrix) -> PallasDIAMatrix:
+    """Relayout a natural-order DIAMatrix (tests / ad-hoc use; one
+    extra pass over the band data — production packs directly via
+    to_dia_pallas)."""
+    D = len(m.offsets)
+    b = m.block_size
+    n_pad = m.bands.shape[2]
+    nq = n_pad // _Q
+    bands8 = (
+        m.bands.reshape(D * b * b, nq, _Q)
+        .transpose(0, 2, 1)
+        .reshape(D * b * b * _Q, nq)
+        .astype(jnp.float32)
+    )
+    return PallasDIAMatrix(
+        offsets=m.offsets,
+        bands8=bands8,
+        block_size=b,
+        num_rows=m.num_rows,
+        n_pad=n_pad,
+    )
+
+
+def _x_block_plan(offsets: Sequence[int], tq: int):
+    """Which x blocks (relative block offsets, in units of the [*, tq]
+    lane tile) each band offset needs, and how to slice them.
+
+    For band offset d: dq = d // 8 lane shift, ds = d % 8 sublane
+    rotation. The needed lanes are [i*tq + dq, +tq) (+1 lane when the
+    sublane rotation wraps), i.e. blocks r0 = dq // tq and r0+1 when
+    the intra-block offset a = dq % tq is nonzero or ds > 0.
+
+    Returns (rel_blocks, per_offset) with per_offset[k] = (r0, a, ds).
+    """
+    rel = set()
+    per = []
+    for d in offsets:
+        d = int(d)
+        dq = d // _Q
+        ds = d - _Q * dq
+        r0 = dq // tq
+        a = dq - r0 * tq
+        rel.add(r0)
+        if a > 0 or ds > 0:
+            rel.add(r0 + 1)
+        per.append((r0, a, ds))
+    return sorted(rel), per
+
+
+def _dia_kernel8(offsets, per_offset, rel_blocks, b: int, tq: int):
+    """Kernel factory for the interleaved layout. All refs are VMEM
+    blocks fed by the Pallas pipeline: bands [D*b*b*8, tq], one x ref
+    [b*8, tq] per relative block, y [b*8, tq]."""
     from jax.experimental.pallas import tpu as pltpu
 
-    D = len(offsets)
-    window = tile + 2 * halo_al
+    r_index = {r: i for i, r in enumerate(rel_blocks)}
+    interpret = jax.default_backend() != "tpu"
 
-    def kernel(x_hbm, bands_ref, y_ref, xw, sem):
-        # i32 indices throughout: Mosaic's memref ops reject i64 (which
-        # python ints promote to under jax_enable_x64)
-        start = pl.program_id(0) * jnp.int32(tile)
-        dma = pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(start, window)], xw, sem
-        )
-        dma.start()
-        dma.wait()
-        w = xw[:, :]  # [b, window]
-        acc = [jnp.zeros((tile,), jnp.float32) for _ in range(b)]
-        for k, d in enumerate(offsets):
-            # shifted[j] = x[start + j + d] = w[halo_al + j + d]:
-            # a static (compile-time) unaligned slice of the window
-            xs = w[:, halo_al + int(d) : halo_al + int(d) + tile]
-            for ii in range(b):
-                row = acc[ii]
-                for j in range(b):
-                    row = row + bands_ref[(k * b + ii) * b + j, :] * xs[j, :]
-                acc[ii] = row
+    def _roll_sub(v, ds):
+        # output row s holds source row (s + ds) % 8
+        if interpret:
+            return jnp.roll(v, -ds, axis=0)
+        # pltpu.roll requires a non-negative shift: -ds == 8-ds (mod 8)
+        return pltpu.roll(v, _Q - ds, axis=0)
+
+    def kernel(bands_ref, *rest):
+        xrefs = rest[:-1]
+        y_ref = rest[-1]
+
+        def xslice(j, r0, a, ds):
+            """x values of component j shifted by band offset d, as a
+            fully packed [8, tq] chunk in cell-interleaved order."""
+            lo = xrefs[r_index[r0]][j * _Q : (j + 1) * _Q, :]
+            if a == 0 and ds == 0:
+                return lo
+            hi = xrefs[r_index[r0 + 1]][j * _Q : (j + 1) * _Q, :]
+            w = jnp.concatenate([lo, hi], axis=1)  # [8, 2*tq]
+            if ds == 0:
+                return w[:, a : a + tq]
+            # sublane rotation: output row s reads source row
+            # (s + ds) % 8; rows that wrapped advance one lane
+            v0 = _roll_sub(w[:, a : a + tq], ds)
+            v1 = _roll_sub(w[:, a + 1 : a + 1 + tq], ds)
+            srow = jax.lax.broadcasted_iota(jnp.int32, (_Q, tq), 0)
+            return jnp.where(srow < _Q - ds, v0, v1)
+
+        acc = [jnp.zeros((_Q, tq), jnp.float32) for _ in range(b)]
+        for k, (r0, a, ds) in enumerate(per_offset):
+            for j in range(b):
+                xs = xslice(j, r0, a, ds)
+                for ii in range(b):
+                    row = ((k * b + ii) * b + j) * _Q
+                    acc[ii] = acc[ii] + bands_ref[row : row + _Q, :] * xs
         for ii in range(b):
-            y_ref[ii, :] = acc[ii]
+            y_ref[ii * _Q : (ii + 1) * _Q, :] = acc[ii]
 
-    return kernel, D
+    return kernel
 
 
-def pallas_matvec(m: DIAMatrix, x: Array) -> Array:
-    """One-HBM-pass band SpMV on TPU. f32 only."""
+def _pallas_matvec8(m: PallasDIAMatrix, x: Array) -> Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     offsets = m.offsets
     D = len(offsets)
     n, b = x.shape
-    tile = _TILE
-    n_pad = m.bands.shape[2]
-    halo = max(abs(int(d)) for d in offsets) if offsets else 0
-    halo_al = max(-(-halo // 128) * 128, 128)  # lane-aligned halo
+    n_pad = m.n_pad
+    tq = _TILE // _Q  # lanes per block (multiple of 128)
+    nq = n_pad // _Q
 
-    xt = jnp.zeros((b, n_pad + 2 * halo_al), jnp.float32)
-    xt = jax.lax.dynamic_update_slice(
-        xt, x.T.astype(jnp.float32), (0, halo_al)
+    rel_blocks, per_offset = _x_block_plan(offsets, tq)
+    hb = max(max(abs(r) for r in rel_blocks), 1)
+    pad_q = hb * tq
+
+    # x -> interleaved [b*8, nq + 2*pad_q], zero halo both sides
+    xp = jnp.zeros((n_pad, b), jnp.float32)
+    xp = jax.lax.dynamic_update_slice(
+        xp, x.astype(jnp.float32), (0, 0)
     )
-    bands = m.bands.reshape(D * b * b, n_pad)
+    x_il = (
+        xp.T.reshape(b, nq, _Q).transpose(0, 2, 1).reshape(b * _Q, nq)
+    )
+    xt = jnp.zeros((b * _Q, nq + 2 * pad_q), jnp.float32)
+    xt = jax.lax.dynamic_update_slice(xt, x_il, (0, pad_q))
 
-    kernel, _ = _dia_kernel(offsets, b, halo_al, tile)
-    grid = (n_pad // tile,)
+    kernel = _dia_kernel8(offsets, per_offset, rel_blocks, b, tq)
+    grid = (nq // tq,)
     interpret = jax.default_backend() != "tpu"
+
+    def x_spec(r):
+        return pl.BlockSpec(
+            (b * _Q, tq),
+            lambda i, r=r: (0, i + r + hb),
+            memory_space=pltpu.VMEM,
+        )
+
     # x64 mode poisons Pallas's grid/index plumbing with i64 values
     # Mosaic cannot legalize; the kernel itself is pure f32/int32
     with jax.enable_x64(False):
         y = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((b * _Q, nq), jnp.float32),
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
-                    (D * b * b, tile),
+                    (D * b * b * _Q, tq),
                     lambda i: (0, i),
                     memory_space=pltpu.VMEM,
-                ),
-            ],
+                )
+            ]
+            + [x_spec(r) for r in rel_blocks],
             out_specs=pl.BlockSpec(
-                (b, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+                (b * _Q, tq), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
-            scratch_shapes=[
-                pltpu.VMEM((b, tile + 2 * halo_al), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
             interpret=interpret,
-        )(xt, bands)
-    return y[:, :n].T
+        )(m.bands8, *([xt] * len(rel_blocks)))
+    # de-interleave [b*8, nq] -> [n, b]
+    yn = y.reshape(b, _Q, nq).transpose(0, 2, 1).reshape(b, n_pad)
+    return yn[:, :n].T
+
+
+def pallas_matvec(m, x: Array) -> Array:
+    """Band SpMV on TPU (f32). Accepts a pre-packed PallasDIAMatrix
+    (production path) or a natural-order DIAMatrix (relayout on the
+    fly — tests / ad-hoc use)."""
+    if isinstance(m, PallasDIAMatrix):
+        return _pallas_matvec8(m, x)
+    return _pallas_matvec8(_interleave_bands(m), x)

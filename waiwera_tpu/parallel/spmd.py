@@ -73,6 +73,7 @@ class LocalSystem(System):
         halo_cols: Optional[Array] = None,
         halo_pos: Optional[Array] = None,
         ilu_split=None,
+        global_cells: Optional[Array] = None,
     ):
         # no super().__init__: structure is prebuilt per device on host
         self.eos = eos
@@ -94,6 +95,7 @@ class LocalSystem(System):
         self.halo_cols = halo_cols
         self.halo_pos = halo_pos
         self.ilu_split = ilu_split
+        self.global_cells = global_cells
 
     # -- parallel hooks ----------------------------------------------
 
@@ -115,6 +117,11 @@ class LocalSystem(System):
 
     def reduce_any(self, x: Array) -> Array:
         return lax.pmax(x.astype(jnp.int32), self.axis) > 0
+
+    def to_global_cell(self, cell: Array) -> Array:
+        if self.global_cells is None:
+            return cell
+        return self.global_cells[cell]
 
     def sync(self, x):
         """Overlap-1 halo exchange: pack boundary cells, all_gather
@@ -271,7 +278,21 @@ class DistributedSystem:
         self.plan: PartitionPlan = build_partition(sim.mesh, num_devices)
         self.num_devices = num_devices
         if devices is None:
-            devices = jax.devices()[:num_devices]
+            avail = jax.devices()
+            if len(avail) < num_devices:
+                raise ValueError(
+                    f"DistributedSystem needs {num_devices} devices "
+                    f"but only {len(avail)} are available "
+                    f"(on CPU set jax_num_cpu_devices or "
+                    f"--xla_force_host_platform_device_count before "
+                    f"backend initialisation)"
+                )
+            devices = avail[:num_devices]
+        elif len(devices) < num_devices:
+            raise ValueError(
+                f"DistributedSystem given {len(devices)} devices, "
+                f"needs {num_devices}"
+            )
         self.device_mesh = DeviceMesh(np.array(devices), (AXIS,))
         self.sharding = NamedSharding(self.device_mesh, P(AXIS))
 
@@ -458,6 +479,9 @@ class DistributedSystem:
             owned=jnp.asarray(plan.owned_mask),
             send_idx=jnp.asarray(plan.send_idx, jnp.int32),
             recv_src=jnp.asarray(plan.recv_src, jnp.int32),
+            # local slot -> global/natural cell index (AO analogue) for
+            # observability: worst-cell reporting in natural order
+            global_cells=jnp.asarray(plan.local_cells, jnp.int32),
         )
 
         # --- rock + sources ------------------------------------------
@@ -604,6 +628,7 @@ class DistributedSystem:
             halo_cols=halo_cols,
             halo_pos=halo_pos,
             ilu_split=ilu_split,
+            global_cells=route_st.get("global_cells"),
         )
 
     def make_step_fn(
@@ -698,6 +723,7 @@ class DistributedSystem:
         out_res_spec = NewtonResult(
             y=loc, region=loc, iterations=loc, converged=loc,
             failed=loc, max_residual=loc, linear_iterations=loc,
+            worst_cell=loc, worst_equation=loc,
         )
 
         mapped = jax.shard_map(
@@ -711,9 +737,15 @@ class DistributedSystem:
 
         @jax.jit
         def step(y, region, temperature, lhs_last, lhs_last2, t_last, dt,
-                 dt_last, first):
+                 dt_last, first, rock_in=None):
+            # rock_in: stacked-local time-varying rock (rock controls)
+            st = (
+                statics
+                if rock_in is None
+                else statics[:4] + (rock_in,)
+            )
             res, fluid, lhs_new, fluxes = mapped(
-                *statics, y, region, temperature, lhs_last, lhs_last2,
+                *st, y, region, temperature, lhs_last, lhs_last2,
                 t_last, dt, dt_last, first,
             )
             # scalar diagnostics are replicated; take device 0's copy
@@ -723,6 +755,8 @@ class DistributedSystem:
                 failed=res.failed[0],
                 max_residual=res.max_residual[0],
                 linear_iterations=res.linear_iterations[0],
+                worst_cell=res.worst_cell[0],
+                worst_equation=res.worst_equation[0],
             )
             return res, fluid, lhs_new, fluxes
 
@@ -756,6 +790,7 @@ class DistributedSimulation:
         self.dist = DistributedSystem(sim, num_devices, devices=devices)
         d = self.dist
         self.rock = d._rock_local
+        self.rock_controls = getattr(sim, "rock_controls", [])
         self.y0 = d.to_local(sim.y0)
         self.region0 = d.to_local(sim.region0)
         # halo/pad rows count as ghost for error/interior masks: each
@@ -772,6 +807,13 @@ class DistributedSimulation:
 
     def make_step_fn(self, newton_params, method="beuler"):
         return self.dist.make_step_fn(newton_params, method)
+
+    def rock_for(self, t: float):
+        """Stacked-local rock at time t (rock controls); the base
+        simulation's rock when no controls exist."""
+        if not self.rock_controls:
+            return self.rock
+        return self.dist.to_local(self.base.rock_for(t))
 
     def to_global(self, tree):
         """Stacked local -> natural-order global (numpy); the AO

@@ -283,7 +283,21 @@ class Simulation:
             sel[self.zones[nm]] = True
         return np.flatnonzero(sel)
 
+    @staticmethod
+    def _is_table_spec(v) -> bool:
+        """Rank-2 array spec = time table (rock_setup.F90:304-312: a
+        rank-2 "permeability"/"porosity" is a table of values vs time
+        driving a rock control)."""
+        if not isinstance(v, (list, tuple, np.ndarray)):
+            return False
+        a = np.asarray(v, dtype=object)
+        return a.ndim >= 2 or (
+            len(v) > 0 and isinstance(v[0], (list, tuple, np.ndarray))
+        )
+
     def _setup_rock(self, rock_cfg, mesh: Mesh) -> RockState:
+        from waiwera_tpu.utils.interpolation import InterpolationTable
+
         n = mesh.num_cells
         perm = np.full((n, 3), DEFAULT_PERMEABILITY)
         wetk = np.full(n, DEFAULT_HEAT_CONDUCTIVITY)
@@ -291,6 +305,9 @@ class Simulation:
         poro = np.full(n, DEFAULT_POROSITY)
         dens = np.full(n, DEFAULT_ROCK_DENSITY)
         sph = np.full(n, DEFAULT_SPECIFIC_HEAT)
+        # time-dependent rock property controls
+        # (flow_simulation.F90:62,2050-2094, rock_control.F90)
+        self.rock_controls = []
         for rt in rock_cfg.get("types", []) or []:
             if "zones" in rt:
                 cells = self._zone_cells(rt["zones"])
@@ -300,18 +317,39 @@ class Simulation:
                 cells = np.asarray(rt["cells"], dtype=np.int64)
             else:
                 cells = np.arange(mesh.num_interior_cells)
-            k = rt.get("permeability", DEFAULT_PERMEABILITY)
-            k = np.atleast_1d(np.asarray(k, dtype=np.float64))
+            interp = str(rt.get("interpolation", "linear")).lower()
+            k_spec = rt.get("permeability", DEFAULT_PERMEABILITY)
+            if self._is_table_spec(k_spec):
+                self.rock_controls.append(
+                    (
+                        "permeability",
+                        np.asarray(cells, np.int64),
+                        InterpolationTable(k_spec, interpolation=interp),
+                    )
+                )
+                k = np.atleast_1d(np.asarray(DEFAULT_PERMEABILITY))
+            else:
+                k = np.atleast_1d(np.asarray(k_spec, dtype=np.float64))
             if len(k) < 3:
                 k = np.concatenate([k, np.full(3 - len(k), k[-1])])
             perm[cells] = k
+            p_spec = rt.get("porosity", DEFAULT_POROSITY)
+            if self._is_table_spec(p_spec):
+                self.rock_controls.append(
+                    (
+                        "porosity",
+                        np.asarray(cells, np.int64),
+                        InterpolationTable(p_spec, interpolation=interp),
+                    )
+                )
+            else:
+                poro[cells] = p_spec
             wetk[cells] = rt.get(
                 "wet_conductivity", DEFAULT_HEAT_CONDUCTIVITY
             )
             dryk[cells] = rt.get(
                 "dry_conductivity", DEFAULT_HEAT_CONDUCTIVITY
             )
-            poro[cells] = rt.get("porosity", DEFAULT_POROSITY)
             dens[cells] = rt.get("density", DEFAULT_ROCK_DENSITY)
             sph[cells] = rt.get("specific_heat", DEFAULT_SPECIFIC_HEAT)
         # MINC fracture/matrix rock types by name
@@ -345,15 +383,25 @@ class Simulation:
 
         # ghost cells inherit the attached interior cell's rock so
         # harmonic face averages see interior properties
+        ghosts = []
+        interiors = []
         for b in mesh.boundaries:
             for ghost, face in zip(b.cells, b.faces):
                 interior = mesh.face_cells[face, 0]
+                ghosts.append(ghost)
+                interiors.append(interior)
                 perm[ghost] = perm[interior]
                 wetk[ghost] = wetk[interior]
                 dryk[ghost] = dryk[interior]
                 poro[ghost] = poro[interior]
                 dens[ghost] = dens[interior]
                 sph[ghost] = sph[interior]
+        self._rock_ghost_map = (
+            np.asarray(ghosts, np.int64),
+            np.asarray(interiors, np.int64),
+        )
+        if self.rock_controls:
+            self._rock_np = {"permeability": perm, "porosity": poro}
         return RockState(
             permeability=jnp.asarray(perm),
             wet_conductivity=jnp.asarray(wetk),
@@ -361,6 +409,34 @@ class Simulation:
             porosity=jnp.asarray(poro),
             density=jnp.asarray(dens),
             specific_heat=jnp.asarray(sph),
+        )
+
+    def rock_for(self, t: float) -> RockState:
+        """Rock properties at time t: applies the table-driven rock
+        controls (pre-try-timestep hook,
+        flow_simulation.F90:2050-2094). Returns self.rock unchanged
+        when no controls exist."""
+        if not self.rock_controls:
+            return self.rock
+        perm = self._rock_np["permeability"].copy()
+        poro = self._rock_np["porosity"].copy()
+        for kind, cells, table in self.rock_controls:
+            val = np.asarray(table(t))
+            if kind == "permeability":
+                k = np.atleast_1d(val)
+                if len(k) < 3:
+                    k = np.concatenate(
+                        [k, np.full(3 - len(k), k[-1])]
+                    )
+                perm[cells] = k
+            else:
+                poro[cells] = val[..., 0] if val.ndim else val
+        g, i = self._rock_ghost_map
+        perm[g] = perm[i]
+        poro[g] = poro[i]
+        return self.rock._replace(
+            permeability=jnp.asarray(perm),
+            porosity=jnp.asarray(poro),
         )
 
     def _setup_initial(self, config, mesh: Mesh):
@@ -486,7 +562,10 @@ class Simulation:
 
         @jax.jit
         def step(y, region, temperature, lhs_last, lhs_last2, t_last, dt,
-                 dt_last, first):
+                 dt_last, first, rock_in=None):
+            # rock_in: time-varying rock properties from rock controls
+            # (rock_for at pre-try-timestep); None uses the static rock
+            rock = self.rock if rock_in is None else rock_in
             t0 = t_last
             t1 = t_last + dt
             if steady:

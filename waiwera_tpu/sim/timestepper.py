@@ -175,6 +175,11 @@ class Timestepper:
             # Krylov solve (f32 is hardware-native on TPU; the Newton
             # loop stays f64)
             linear_dtype=str(opt(lin, "dtype", "float64")).lower(),
+            jacobian_dtype=str(
+                opt(lin, "jacobian_dtype", "float64")
+            ).lower(),
+            # per-iteration monitor (-snes_monitor analogue)
+            monitor=bool(opt(sol, "monitor", False)),
         )
 
         # output config
@@ -319,7 +324,7 @@ class Timestepper:
                     if 0 <= self.max_steps <= self.taken + 1:
                         finished = True
 
-                res, new_fluid, lhs_new, fluxes = self.step_fn(
+                step_args = (
                     y,
                     region,
                     temperature,
@@ -330,6 +335,11 @@ class Timestepper:
                     jnp.asarray(dt_last),
                     jnp.asarray(1.0 if self.taken == 0 else 0.0),
                 )
+                if getattr(self.sim, "rock_controls", None):
+                    # pre-try-timestep rock controls at the try's end
+                    # time (flow_simulation.F90:2040-2094)
+                    step_args = step_args + (self.sim.rock_for(t_try),)
+                res, new_fluid, lhs_new, fluxes = self.step_fn(*step_args)
                 num_tries += 1
                 converged = bool(res.converged) and not bool(res.failed)
                 its = int(res.iterations)
@@ -364,6 +374,10 @@ class Timestepper:
                     iterations=its,
                     linear_iterations=int(res.linear_iterations),
                     max_residual=float(res.max_residual),
+                    # worst-residual location in natural cell order
+                    # (SNES_monitor parity, timestepper.F90:1855-1894)
+                    worst_cell=int(res.worst_cell),
+                    worst_equation=int(res.worst_equation),
                 )
 
                 # set_current_status (:1305-1376)

@@ -49,6 +49,11 @@ class NewtonParams(NamedTuple):
     linear_augment: int = 2  # lgmres augmentation depth (PETSc default)
     linear_ell: int = 2  # bcgsl polynomial degree (PETSc default)
     pc_sweeps: int = 3
+    # per-iteration nonlinear monitor (SNES_monitor,
+    # timestepper.F90:1855-1894): jax.debug.print of iteration, scaled
+    # residual norm, worst cell and worst equation from inside the
+    # jitted loop
+    monitor: bool = False
     # precision of the inner Krylov solve. "float32" runs the
     # dominant-cost SpMV/preconditioner loop in hardware-native f32
     # (TPUs emulate f64 in software); the Newton residual, Jacobian
@@ -87,6 +92,11 @@ class NewtonResult(NamedTuple):
     failed: Array  # bool: domain / linear-solver failure
     max_residual: Array  # last scaled residual norm
     linear_iterations: Array  # int32 total
+    # worst-residual location (SNES_monitor parity,
+    # timestepper.F90:1855-1894): global/natural cell index and
+    # equation index of the largest scaled residual component
+    worst_cell: Array  # int32
+    worst_equation: Array  # int32
 
 
 def newton_solve(
@@ -120,6 +130,25 @@ def newton_solve(
         vals = jnp.where(interior[:, None], jnp.abs(v) / s, 0.0)
         return system.reduce_max(jnp.max(vals))
 
+    def _max_scaled_loc(v: Array, scale: Array, tol: float):
+        """_max_scaled plus the (global cell, equation) of the worst
+        component — the reference's per-iteration monitor payload
+        (timestepper.F90:1855-1894)."""
+        s = jnp.maximum(jnp.abs(scale), tol)
+        vals = jnp.where(interior[:, None], jnp.abs(v) / s, 0.0)
+        m = jnp.max(vals)
+        gm = system.reduce_max(m)
+        npv = v.shape[1]
+        idx = jnp.argmax(vals)
+        cell = (idx // npv).astype(jnp.int32)
+        eq = (idx % npv).astype(jnp.int32)
+        gcell = system.to_global_cell(cell)
+        # only the device holding the global max reports its location
+        has_max = m >= gm
+        wc = system.reduce_max(jnp.where(has_max, gcell, jnp.int32(-1)))
+        we = system.reduce_max(jnp.where(has_max, eq, jnp.int32(-1)))
+        return gm, wc, we
+
     def _fnorm(r: Array):
         return jnp.sqrt(system.reduce_sum(jnp.sum(r * r)))
 
@@ -127,7 +156,9 @@ def newton_solve(
         y0, region0, rock, coeffs, t0, t1
     )
     fnorm0 = _fnorm(r0)
-    maxres0 = _max_scaled(r0, lhs_scale, params.function_atol)
+    maxres0, wc0, we0 = _max_scaled_loc(
+        r0, lhs_scale, params.function_atol
+    )
 
     class _State(NamedTuple):
         y: Array
@@ -139,10 +170,17 @@ def newton_solve(
         failed: Array
         max_residual: Array
         linear_its: Array
+        worst_cell: Array
+        worst_equation: Array
 
     conv0 = (params.min_iterations <= 0) & (
         maxres0 < params.function_rtol
     )
+    if params.monitor:
+        jax.debug.print(
+            "newton it {it}: maxres {r:.6e} worst cell {c} eq {e}",
+            it=0, r=maxres0, c=wc0, e=we0,
+        )
     state = _State(
         y=y0,
         region=region0,
@@ -153,6 +191,8 @@ def newton_solve(
         failed=any_err(err0) | ~jnp.isfinite(fnorm0),
         max_residual=maxres0,
         linear_its=jnp.int32(0),
+        worst_cell=wc0,
+        worst_equation=we0,
     )
 
     def cond(s: _State):
@@ -172,44 +212,48 @@ def newton_solve(
 
     def body(s: _State):
         # Jacobian at current iterate
-        r, L, _, err, mat = system.residual_and_jacobian(
-            s.y, s.region, rock, coeffs, t0, t1,
-            tangent_dtype=jacobian_dtype,
-        )
-        mv, pc = system.make_linear_operator(
-            mat,
-            params.linear_pc,
-            dtype=linear_dtype,
-            sweeps=params.pc_sweeps,
-        )
-        b_lin = r if linear_dtype is None else r.astype(linear_dtype)
-        lin = krylov.solve(
-            params.linear_method,
-            mv,
-            b_lin,
-            precond=pc,
-            rtol=params.linear_rtol,
-            max_iterations=params.linear_max_iterations,
-            restart=params.linear_restart,
-            augment=params.linear_augment,
-            ell=params.linear_ell,
-            reduce_sum=system.reduce_sum,
-        )
+        with jax.named_scope("jacobian"):
+            r, L, _, err, mat = system.residual_and_jacobian(
+                s.y, s.region, rock, coeffs, t0, t1,
+                tangent_dtype=jacobian_dtype,
+            )
+        with jax.named_scope("linear_solve"):
+            mv, pc = system.make_linear_operator(
+                mat,
+                params.linear_pc,
+                dtype=linear_dtype,
+                sweeps=params.pc_sweeps,
+            )
+            b_lin = r if linear_dtype is None else r.astype(linear_dtype)
+            lin = krylov.solve(
+                params.linear_method,
+                mv,
+                b_lin,
+                precond=pc,
+                rtol=params.linear_rtol,
+                max_iterations=params.linear_max_iterations,
+                restart=params.linear_restart,
+                augment=params.linear_augment,
+                ell=params.linear_ell,
+                reduce_sum=system.reduce_sum,
+            )
         # halo slots of the Krylov solution are not solved locally;
         # pull them from their owner before the pointwise update
         dy = system.sync(lin.x.astype(s.y.dtype))
         y_raw = s.y - dy
 
-        # post-linesearch: transitions + primary bounds
-        old_primary = eos.unscale(s.y, s.region)
-        primary_raw = eos.unscale(y_raw, s.region)
-        new_primary, new_region, _, terr = eos.transition(
-            old_primary, primary_raw, s.region, s.temperature
-        )
-        new_primary, bounds_err = eos.check_primary_variables(
-            new_primary, new_region
-        )
-        y_new = eos.scale(new_primary, new_region)
+        # post-linesearch: transitions + primary bounds (the
+        # reference's fluid_trans profiling event)
+        with jax.named_scope("fluid_trans"):
+            old_primary = eos.unscale(s.y, s.region)
+            primary_raw = eos.unscale(y_raw, s.region)
+            new_primary, new_region, _, terr = eos.transition(
+                old_primary, primary_raw, s.region, s.temperature
+            )
+            new_primary, bounds_err = eos.check_primary_variables(
+                new_primary, new_region
+            )
+            y_new = eos.scale(new_primary, new_region)
         # ghost rows never move (halo copies of interior cells DO
         # update, consistently with their owner: same pure per-cell
         # transition on synced inputs)
@@ -225,9 +269,18 @@ def newton_solve(
         r_new = jnp.where(interior[:, None], r_new, 0.0)
 
         it = s.it + 1
-        maxres = _max_scaled(r_new, lhs_scale, params.function_atol)
+        maxres, wc, we = _max_scaled_loc(
+            r_new, lhs_scale, params.function_atol
+        )
         maxupd = _max_scaled(s.y - y_new, y_new, params.update_atol)
         fnorm = _fnorm(r_new)
+        if params.monitor:
+            jax.debug.print(
+                "newton it {it}: maxres {r:.6e} maxupd {u:.3e} "
+                "worst cell {c} eq {e} linear its {li}",
+                it=it, r=maxres, u=maxupd, c=wc, e=we,
+                li=lin.iterations,
+            )
 
         failed = (
             s.failed
@@ -253,6 +306,8 @@ def newton_solve(
             failed=failed,
             max_residual=maxres,
             linear_its=s.linear_its + lin.iterations,
+            worst_cell=wc,
+            worst_equation=we,
         )
 
     final = lax.while_loop(cond, body, state)
@@ -264,4 +319,6 @@ def newton_solve(
         failed=final.failed,
         max_residual=final.max_residual,
         linear_iterations=final.linear_its,
+        worst_cell=final.worst_cell,
+        worst_equation=final.worst_equation,
     )

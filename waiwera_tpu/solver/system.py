@@ -99,13 +99,22 @@ class System:
         on a single device."""
         return x
 
+    def to_global_cell(self, cell: Array) -> Array:
+        """Local row index -> global/natural cell index for
+        observability (AO analogue, dm_utils.F90:843-935); identity on
+        a single device."""
+        return cell
+
     def make_matvec(self, mat, dtype=None):
         """SpMV closure for the Krylov solve: assembled BSR data is
         re-laid-out once (amortised over the Krylov iterations) into
         scatter-free DIA bands (banded/structured meshes; Pallas
-        kernel on TPU) or ELL (ops.ell, unstructured), optionally
-        down-cast (f32 inner solves on TPU)."""
+        kernel on TPU, pre-packed in its interleaved layout) or ELL
+        (ops.ell, unstructured), optionally down-cast (f32 inner
+        solves on TPU)."""
         if self.dia is not None:
+            if dia._use_pallas(dtype):
+                return dia.to_dia_pallas(mat, self.dia, dtype).matvec
             return dia.to_dia(mat, self.dia, dtype).matvec
         return ell.to_ell(mat, self.ell, dtype).matvec
 
@@ -118,11 +127,12 @@ class System:
 
         if self.dia is not None:
             m64 = dia.to_dia(mat, self.dia)
-            m = (
-                m64
-                if dtype is None
-                else m64._replace(bands=m64.bands.astype(dtype))
-            )
+            if dia._use_pallas(dtype):
+                m = dia.to_dia_pallas(mat, self.dia, dtype)
+            elif dtype is None:
+                m = m64
+            else:
+                m = m64._replace(bands=m64.bands.astype(dtype))
             if pc_name in ("none",):
                 pc = lambda r: r
             elif pc_name in ("bjacobi", "jacobi"):
@@ -143,19 +153,24 @@ class System:
 
     def derived_state(self, y: Array, region: Array, rock: RockState):
         """Scaled primaries -> (fluid, conductivity, err)."""
-        primary = self.eos.unscale(y, region)
-        fluid, err = self.eos.properties(primary, region, rock)
-        cond = (
-            None
-            if self.isothermal
-            else self.eos.conductivity(rock, fluid)
-        )
+        # named scopes mirror the reference's profiling events
+        # (profiling.F90:28-64): fluid_props, cell_balances,
+        # cell_inflows, sources — visible in jax.profiler traces
+        with jax.named_scope("fluid_props"):
+            primary = self.eos.unscale(y, region)
+            fluid, err = self.eos.properties(primary, region, rock)
+            cond = (
+                None
+                if self.isothermal
+                else self.eos.conductivity(rock, fluid)
+            )
         return fluid, cond, err
 
     def lhs(self, fluid: FluidState, rock: RockState) -> Array:
         """Cell balances, zero in ghost cells."""
-        L = assembly.cell_balances(fluid, rock, self.npv)
-        return jnp.where(self.mesh.is_ghost[:, None], 0.0, L)
+        with jax.named_scope("cell_balances"):
+            L = assembly.cell_balances(fluid, rock, self.npv)
+            return jnp.where(self.mesh.is_ghost[:, None], 0.0, L)
 
     def source_term(self, fluid, t0, t1) -> Array:
         """Cell inflows from the source network at the current fluid
@@ -165,17 +180,18 @@ class System:
         enthalpy) enter the AD Jacobian's diagonal blocks."""
         if self.network is None or self.network.num_sources == 0:
             return jnp.zeros((self.mesh.num_cells, self.npv))
-        rate, enthalpy = self.network.flows(fluid, t0, t1)
-        return source_inflows(
-            fluid,
-            self.network.arrays,
-            rate,
-            enthalpy,
-            self.npv,
-            self.eos.num_components,
-            self.mesh.num_cells,
-            self.isothermal,
-        )
+        with jax.named_scope("sources"):
+            rate, enthalpy = self.network.flows(fluid, t0, t1)
+            return source_inflows(
+                fluid,
+                self.network.arrays,
+                rate,
+                enthalpy,
+                self.npv,
+                self.eos.num_components,
+                self.mesh.num_cells,
+                self.isothermal,
+            )
 
     def fluxes(self, fluid, cond, rock) -> Array:
         return assembly.face_fluxes(
@@ -191,8 +207,9 @@ class System:
     def rhs(self, fluid, cond, rock, t0, t1):
         """Net cell inflows (per unit volume) = flux divergence +
         sources. Returns (rhs [N, npv], fluxes [F, nf])."""
-        fluxes = self.fluxes(fluid, cond, rock)
-        inflow = assembly.cell_inflows(fluxes, self.mesh, self.npv)
+        with jax.named_scope("cell_inflows"):
+            fluxes = self.fluxes(fluid, cond, rock)
+            inflow = assembly.cell_inflows(fluxes, self.mesh, self.npv)
         inflow = inflow + self.source_term(fluid, t0, t1)
         return jnp.where(self.mesh.is_ghost[:, None], 0.0, inflow), fluxes
 
@@ -276,23 +293,25 @@ class System:
         return self._rj_core(y, region, rock, coeffs, t0, t1)
 
     def _mesh_cast(self, dtype):
-        """Mesh arrays with floating fields cast to dtype (cached):
-        keeps the f32 tangent chain from re-promoting to f64 through
-        captured f64 geometry."""
-        cache = getattr(self, "_mesh_cast_cache", None)
-        if cache is None or cache[0] != dtype:
-            cast = jax.tree_util.tree_map(
-                lambda a: (
-                    a.astype(dtype)
-                    if hasattr(a, "dtype")
-                    and jnp.issubdtype(a.dtype, jnp.floating)
-                    else a
-                ),
-                self.mesh,
-            )
-            cache = (dtype, cast)
-            self._mesh_cast_cache = cache
-        return cache[1]
+        """Mesh arrays with floating fields cast to dtype: keeps the
+        f32 tangent chain from re-promoting to f64 through captured f64
+        geometry.
+
+        Deliberately NOT cached on self: a System instance outlives any
+        single jit trace, and caching traced arrays across traces leaks
+        tracers (the round-2 bench crash). The casts are pure astype
+        ops, called at most once per trace, and XLA constant-folds them
+        when the mesh leaves are concrete.
+        """
+        return jax.tree_util.tree_map(
+            lambda a: (
+                a.astype(dtype)
+                if hasattr(a, "dtype")
+                and jnp.issubdtype(a.dtype, jnp.floating)
+                else a
+            ),
+            self.mesh,
+        )
 
     def _rj_core(
         self,
