@@ -270,23 +270,38 @@ def main():
         "step_seconds": step_seconds,
     }
 
-    try:
-        system = sim.system
-        coeffs = MethodCoeffs(c_lhs=jnp.asarray(1.0), dt_eff=dt,
-                              const=-lhs0)
-        tangent = (
-            jnp.float32
-            if "32" in jacobian_dtype
-            else None
+    # NOTE on jit boundaries: a [nnzb, b, b] block array must never
+    # cross a jit boundary (input, output, or closure capture) — XLA
+    # copies boundary arrays into tiled layouts, and T(4,128) tiling on
+    # trailing (3, 3) dims pads 3->4 x 3->128 (a 57x expansion; 28 GB
+    # for the flagship Jacobian, the round-2.5 OOM). Block data always
+    # travels flat 1-D and is reshaped inside the traced program, where
+    # fusion avoids materialising the padded form.
+    from waiwera_tpu.solver import bsr as bsr_mod
+
+    system = sim.system
+    coeffs = MethodCoeffs(c_lhs=jnp.asarray(1.0), dt_eff=dt,
+                          const=-lhs0)
+    tangent = (
+        jnp.float32
+        if "32" in jacobian_dtype
+        else None
+    )
+
+    def _mat_of(flat, dtype):
+        return bsr_mod.BSRMatrix(
+            structure=system.structure,
+            data=flat.reshape(-1, npv, npv).astype(dtype),
         )
 
+    try:
         @jax.jit
         def assemble(y):
             r, L, fx, err, mat = system.residual_and_jacobian(
                 y, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt,
                 tangent_dtype=tangent,
             )
-            return r, mat.data
+            return r, mat.data.reshape(-1)
 
         def launch_assemble(dep):
             r, data = assemble(sim.y0 + dep)
@@ -297,23 +312,25 @@ def main():
         result["assembly_seconds"] = time_chained(
             launch_assemble, reps, a_out
         )
+    except Exception as e:
+        result["assembly_error"] = repr(e)
 
-        r0, _ = assemble(sim.y0)
-        _, _, _, _, mat = system.residual_and_jacobian(
-            sim.y0, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt
-        )
-        ldtype = jnp.float32 if "32" in linear_dtype else None
-        mv, pc = system.make_linear_operator(mat, linear_pc,
-                                             dtype=ldtype)
-        b_rhs = -r0.astype(ldtype or r0.dtype)
+    r0, data_flat = assemble(sim.y0)
+    ldtype = jnp.float32 if "32" in linear_dtype else jnp.float64
+    b_rhs = -r0.astype(ldtype)
 
+    try:
         @jax.jit
-        def linsolve(b):
+        def linsolve(flat, b):
+            mat = _mat_of(flat, jnp.float64)
+            mv, pc = system.make_linear_operator(
+                mat, linear_pc, dtype=ldtype
+            )
             res = krylov.solve("bcgs", mv, b, precond=pc, rtol=1e-5)
             return res.x, res.iterations
 
         def launch_linsolve(dep):
-            x, its = linsolve(b_rhs + dep)
+            x, its = linsolve(data_flat, b_rhs + dep)
             return x
 
         l_out = launch_linsolve(jnp.asarray(0.0, b_rhs.dtype))
@@ -321,7 +338,9 @@ def main():
         result["linear_solve_seconds"] = time_chained(
             launch_linsolve, reps, l_out
         )
-        result["linear_iterations"] = int(linsolve(b_rhs)[1])
+        result["linear_iterations"] = int(
+            linsolve(data_flat, b_rhs)[1]
+        )
     except Exception as e:
         result["split_error"] = repr(e)
 
@@ -331,7 +350,6 @@ def main():
 
         nnzb = int(system.structure.indices.shape[0])
         nnz = nnzb * npv * npv
-        mv32 = system.make_matvec(mat, jnp.float32)
         if system.dia is None:
             result["spmv_path"] = "ell"
         elif ops_dia._use_pallas(jnp.float32):
@@ -341,11 +359,14 @@ def main():
 
         # scale so chained applications neither overflow nor denormal
         # -underflow: measured matvec work is unchanged
-        nrows = mat.structure.num_rows
+        nrows = system.structure.num_rows
 
         def make_chain(k):
             @jax.jit
-            def run():
+            def run(flat):
+                mv32 = system.make_matvec(
+                    _mat_of(flat, jnp.float32), jnp.float32
+                )
                 x0 = jnp.full((nrows, npv), 1.0, jnp.float32)
 
                 def body(i, x):
@@ -355,7 +376,7 @@ def main():
 
                 return jax.lax.fori_loop(0, k, body, x0)
 
-            return run
+            return lambda: run(data_flat)
 
         per = time_fori(make_chain)
         # subtract the normalisation cost (max + rescale: ~2 extra

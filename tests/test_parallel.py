@@ -63,6 +63,54 @@ def test_partition_plan_covers_mesh():
             assert plan.owned_mask[od, plan.send_idx[od, pos]]
 
 
+def test_p2p_rounds_cover_halo():
+    """The edge-colored ppermute rounds deliver exactly the halo:
+    simulating the rounds on host must reproduce every device's halo
+    slots from the owners' data, each round a partial permutation."""
+    from waiwera_tpu.parallel import build_partition
+
+    sim = _build_sim(37)
+    plan = build_partition(sim.mesh, 8)
+    D = plan.num_devices
+    # each round: every device sends to <=1 target, receives from <=1
+    for perm in plan.p2p_perms:
+        srcs = [s for s, _ in perm]
+        dsts = [d for _, d in perm]
+        assert len(set(srcs)) == len(srcs)
+        assert len(set(dsts)) == len(dsts)
+    # simulate: device value = global cell id of each owned slot
+    val = np.full((D, plan.n_local + 1), -1, np.int64)
+    for d in range(D):
+        val[d, : plan.n_local] = np.where(
+            plan.owned_mask[d], plan.local_cells[d], -1
+        )
+    for r, perm in enumerate(plan.p2p_perms):
+        bufs = {s: val[s, plan.p2p_send[s, r]] for s, _ in perm}
+        for s, d in perm:
+            slots = plan.p2p_recv[d, r]
+            val[d][slots] = bufs[s]  # pad slot n_local absorbs junk
+    # every halo slot now holds its own global cell id
+    for d in range(D):
+        halo = np.arange(plan.n_owned_pad, plan.n_local)
+        real = ~plan.owned_mask[d, halo] & (
+            np.isin(plan.local_cells[d, halo],
+                    plan.local_cells[d, : plan.n_owned_pad][
+                        plan.owned_mask[d, : plan.n_owned_pad]],
+                    invert=True)
+        )
+        # slots that are genuine halo entries (appear in recv tables)
+        received = val[d, halo] >= 0
+        assert np.all(
+            val[d, halo][received]
+            == plan.local_cells[d, halo][received]
+        )
+        # all halo cells referenced by local faces must be received
+        fc = plan.face_cells_local[d][plan.face_mask[d]]
+        used = np.unique(fc.ravel())
+        used_halo = used[used >= plan.n_owned_pad]
+        assert np.all(val[d, used_halo] == plan.local_cells[d, used_halo])
+
+
 @pytest.mark.parametrize("num_devices", [2, 8])
 def test_distributed_step_matches_single(num_devices):
     import jax.numpy as jnp

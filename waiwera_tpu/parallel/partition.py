@@ -41,6 +41,14 @@ class PartitionPlan(NamedTuple):
     recv_src: np.ndarray  # [D, n_halo] int32 flat gathered index
     n_owned_pad: int  # halo slots start here in every device
     n_halo: int  # padded halo count
+    # point-to-point exchange (PetscSF analogue): the directed
+    # neighbour graph edge-colored into rounds where each device sends
+    # at most one buffer and receives at most one (a partial
+    # permutation -> one lax.ppermute per round). O(rounds * S_edge)
+    # traffic instead of the all_gather's O(D * S).
+    p2p_perms: tuple  # per round: tuple of (src, dst) device pairs
+    p2p_send: np.ndarray  # [D, R, S_e] int32 local slots to pack
+    p2p_recv: np.ndarray  # [D, R, S_e] int32 halo slot (pad: n_local)
     # owner device + owner-local slot of every global cell (for
     # scattering global arrays to devices and gathering results back)
     cell_device: np.ndarray  # [N] int32
@@ -159,6 +167,43 @@ def build_partition(mesh: Mesh, num_devices: int) -> PartitionPlan:
             o = part[g]
             recv_src[d, i] = o * num_send + send_pos[(o, g)]
 
+    # --- point-to-point rounds: edge-color the neighbour digraph ------
+    # edge (o -> d): cells d's halo needs from owner o. Greedy coloring
+    # into rounds where every device sends <=1 and receives <=1 buffer
+    # (a partial permutation; <= 2*max_degree - 1 rounds).
+    edges = {}  # (o, d) -> (send local slots on o, recv halo slots on d)
+    for d in range(num_devices):
+        for i, g in enumerate(halos[d]):
+            o = part[g]
+            s, r = edges.setdefault((o, d), ([], []))
+            s.append(g2l[o, g])
+            r.append(n_owned_pad + i)
+    out_used = [set() for _ in range(num_devices)]
+    in_used = [set() for _ in range(num_devices)]
+    edge_round = {}
+    # larger edges first: keeps the padded buffer tight per round
+    for (o, d), (s, _r) in sorted(
+        edges.items(), key=lambda kv: -len(kv[1][0])
+    ):
+        r = 0
+        while r in out_used[o] or r in in_used[d]:
+            r += 1
+        out_used[o].add(r)
+        in_used[d].add(r)
+        edge_round[(o, d)] = r
+    n_rounds = max(edge_round.values(), default=-1) + 1
+    s_edge = max((len(s) for s, _ in edges.values()), default=0) or 1
+    n_rounds = max(n_rounds, 1)
+    p2p_send = np.zeros((num_devices, n_rounds, s_edge), np.int64)
+    p2p_recv = np.full((num_devices, n_rounds, s_edge), n_local, np.int64)
+    perms = [[] for _ in range(n_rounds)]
+    for (o, d), (s, rl) in edges.items():
+        r = edge_round[(o, d)]
+        p2p_send[o, r, : len(s)] = s
+        p2p_recv[d, r, : len(rl)] = rl
+        perms[r].append((o, d))
+    p2p_perms = tuple(tuple(sorted(p)) for p in perms)
+
     return PartitionPlan(
         num_devices=num_devices,
         n_local=n_local,
@@ -175,4 +220,7 @@ def build_partition(mesh: Mesh, num_devices: int) -> PartitionPlan:
         n_halo=n_halo,
         cell_device=cell_device.astype(np.int32),
         cell_slot=cell_slot.astype(np.int32),
+        p2p_perms=p2p_perms,
+        p2p_send=p2p_send.astype(np.int32),
+        p2p_recv=p2p_recv.astype(np.int32),
     )

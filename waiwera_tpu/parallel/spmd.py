@@ -74,6 +74,9 @@ class LocalSystem(System):
         halo_pos: Optional[Array] = None,
         ilu_split=None,
         global_cells: Optional[Array] = None,
+        p2p_perms=None,
+        p2p_send: Optional[Array] = None,
+        p2p_recv: Optional[Array] = None,
     ):
         # no super().__init__: structure is prebuilt per device on host
         self.eos = eos
@@ -96,6 +99,9 @@ class LocalSystem(System):
         self.halo_pos = halo_pos
         self.ilu_split = ilu_split
         self.global_cells = global_cells
+        self.p2p_perms = p2p_perms
+        self.p2p_send = p2p_send
+        self.p2p_recv = p2p_recv
 
     # -- parallel hooks ----------------------------------------------
 
@@ -124,16 +130,30 @@ class LocalSystem(System):
         return self.global_cells[cell]
 
     def sync(self, x):
-        """Overlap-1 halo exchange: pack boundary cells, all_gather
-        over the mesh axis, pull this device's halo slots out of the
-        gathered buffer."""
+        """Overlap-1 halo exchange (PetscSF DMGlobalToLocal analogue):
+        point-to-point rounds of lax.ppermute over the edge-colored
+        neighbour graph — each round every device sends at most one
+        packed buffer to one neighbour and scatters what it received
+        into its halo slots (pad entries index out of bounds and are
+        dropped). O(rounds * S_edge) traffic where the old all_gather
+        broadcast was O(D * S)."""
+        if self.p2p_perms is None or self.p2p_send is None:
+            def ex(a):
+                send = a[self.send_idx]
+                gathered = lax.all_gather(send, self.axis)  # [D, S, ..]
+                flat = gathered.reshape((-1,) + a.shape[1:])
+                halo = flat[self.recv_src]
+                return a.at[self.n_owned_pad :].set(halo)
+
+            return jax.tree_util.tree_map(ex, x)
 
         def ex(a):
-            send = a[self.send_idx]
-            gathered = lax.all_gather(send, self.axis)  # [D, S, ...]
-            flat = gathered.reshape((-1,) + a.shape[1:])
-            halo = flat[self.recv_src]
-            return a.at[self.n_owned_pad :].set(halo)
+            out = a
+            for r, perm in enumerate(self.p2p_perms):
+                buf = a[self.p2p_send[r]]
+                rbuf = lax.ppermute(buf, self.axis, perm)
+                out = out.at[self.p2p_recv[r]].set(rbuf, mode="drop")
+            return out
 
         return jax.tree_util.tree_map(ex, x)
 
@@ -151,10 +171,16 @@ class LocalSystem(System):
                 hdata = hdata.astype(dtype)
 
             def mv(x):
+                # halo exchange overlapped with interior compute
+                # (SURVEY §7.5-6): the DIA bands cover only owned-owned
+                # couplings, so the banded matvec consumes the
+                # *unsynced* x and has no data dependency on the
+                # ppermute rounds — XLA schedules them concurrently.
+                # Only the thin halo-edge correction (owned rows
+                # coupled to halo columns, an O(N^(2/3)) surface term)
+                # waits for the exchange.
                 xs = self.sync(x)
-                y = m.matvec(xs)
-                # thin halo-edge correction: owned rows coupled to
-                # halo columns (surface term, O(N^(2/3)) entries)
+                y = m.matvec(x)
                 prod = jnp.einsum(
                     "kij,kj->ki", hdata,
                     xs[self.halo_cols].astype(hdata.dtype),
@@ -479,10 +505,13 @@ class DistributedSystem:
             owned=jnp.asarray(plan.owned_mask),
             send_idx=jnp.asarray(plan.send_idx, jnp.int32),
             recv_src=jnp.asarray(plan.recv_src, jnp.int32),
+            p2p_send=jnp.asarray(plan.p2p_send, jnp.int32),
+            p2p_recv=jnp.asarray(plan.p2p_recv, jnp.int32),
             # local slot -> global/natural cell index (AO analogue) for
             # observability: worst-cell reporting in natural order
             global_cells=jnp.asarray(plan.local_cells, jnp.int32),
         )
+        self._p2p_perms = plan.p2p_perms
 
         # --- rock + sources ------------------------------------------
         self._rock_local = jax.tree_util.tree_map(
@@ -629,6 +658,9 @@ class DistributedSystem:
             halo_pos=halo_pos,
             ilu_split=ilu_split,
             global_cells=route_st.get("global_cells"),
+            p2p_perms=self._p2p_perms,
+            p2p_send=route_st.get("p2p_send"),
+            p2p_recv=route_st.get("p2p_recv"),
         )
 
     def make_step_fn(
@@ -820,6 +852,27 @@ class DistributedSimulation:
         natural-ordering restore for I/O."""
         return self.dist.from_local(tree)
 
+    def flux_to_global(self, fluxes):
+        """Stacked local face fluxes [D, f_local, nf] -> global natural
+        face order [F, nf] (faces replicated on two devices carry the
+        same value; either copy wins)."""
+        plan = self.dist.plan
+        a = np.asarray(fluxes)
+        out = np.zeros(
+            (self.mesh.num_faces,) + a.shape[2:], a.dtype
+        )
+        for d in range(plan.num_devices):
+            m = plan.face_mask[d]
+            out[plan.face_ids[d][m]] = a[d][m]
+        return out
+
+    def fluxes_at(self, y, region):
+        """Initial-output fluxes: evaluated globally on host (init-time
+        only), natural face order."""
+        yg = jnp.asarray(self.dist.from_local(y))
+        rg = jnp.asarray(self.dist.from_local(region))
+        return np.asarray(self.base.fluxes_at(yg, rg))
+
     def lhs_at(self, y, region):
         """Initial balances: evaluated globally on host (init-time
         only), then scattered to the device mesh."""
@@ -888,14 +941,16 @@ class DistributedSimulation:
                 num_interior_cells=plan.n_local,
             )
             owned = route_st["owned"]
-            send_idx = route_st["send_idx"]
-            recv_src = route_st["recv_src"]
+            p2p_send = route_st["p2p_send"]
+            p2p_recv = route_st["p2p_recv"]
 
             def sync(a):
-                send = a[send_idx]
-                gathered = lax.all_gather(send, AXIS)
-                flat = gathered.reshape((-1,) + a.shape[1:])
-                return a.at[plan.n_owned_pad :].set(flat[recv_src])
+                out = a
+                for r, perm in enumerate(dist._p2p_perms):
+                    buf = a[p2p_send[r]]
+                    rbuf = lax.ppermute(buf, AXIS, perm)
+                    out = out.at[p2p_recv[r]].set(rbuf, mode="drop")
+                return out
 
             reduce_sum = lambda v: lax.psum(v, AXIS)
 

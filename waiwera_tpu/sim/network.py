@@ -767,16 +767,19 @@ class SourceNetwork:
 
     # -- the pure update ----------------------------------------------
 
-    def flows(self, fluid, t0, t1):
+    def flows(self, fluid, t0, t1, collect=None):
         """Returns (rate [ns], enthalpy [ns]): signed source rates and
-        effective (injection or flowing) enthalpies."""
+        effective (injection or flowing) enthalpies. Pass a dict as
+        `collect` to capture intermediate node flows (separated
+        water/steam, groups, reinjectors) for output."""
         from waiwera_tpu.sim.sources import gather_cell_state
 
         return self.flows_from_state(
-            gather_cell_state(fluid, self.arrays.cell), t0, t1
+            gather_cell_state(fluid, self.arrays.cell), t0, t1,
+            collect=collect,
         )
 
-    def flows_from_state(self, state, t0, t1):
+    def flows_from_state(self, state, t0, t1, collect=None):
         """The network update on a gathered per-source cell state
         (SourceCellState). Fully vectorised over sources: per-source
         controls are batched table stacks
@@ -830,6 +833,9 @@ class SourceNetwork:
 
         if not (self.has_separators or self.has_limiters
                 or self.has_network):
+            if collect is not None:
+                z = jnp.zeros(ns)
+                collect["separated"] = (z, z, z, z)
             return q, h_eff
 
         # separated flows per source
@@ -861,10 +867,12 @@ class SourceNetwork:
 
         if self.has_network:
             q, h_eff, qw, hw, qs, hs = self._network_update(
-                q, h_eff, qw, hw, qs, hs, t0, t1
+                q, h_eff, qw, hw, qs, hs, t0, t1, collect=collect
             )
 
         self._last_separated = (qw, hw, qs, hs)
+        if collect is not None:
+            collect["separated"] = (qw, hw, qs, hs)
         return q, h_eff
 
     def tracer_injection(self, t0, t1):
@@ -954,7 +962,8 @@ class SourceNetwork:
 
     # -- groups + reinjectors (lagged in the Jacobian) ----------------
 
-    def _network_update(self, q, h, qw, hw, qs, hs, t0, t1):
+    def _network_update(self, q, h, qw, hw, qs, hs, t0, t1,
+                        collect=None):
         sg = jax.lax.stop_gradient
         nodes: Dict[str, NodeFlows] = {}
 
@@ -1084,6 +1093,8 @@ class SourceNetwork:
                 balance = {FLOW_WATER: in_qw, FLOW_STEAM: in_qs}
                 in_h = {FLOW_WATER: in_hw, FLOW_STEAM: in_hs}
                 in_rate = {FLOW_WATER: in_qw, FLOW_STEAM: in_qs}
+                out_tot = {FLOW_WATER: jnp.asarray(0.0),
+                           FLOW_STEAM: jnp.asarray(0.0)}
                 for o in r.outputs:
                     if o.kind == "rate":
                         req = (
@@ -1126,6 +1137,7 @@ class SourceNetwork:
                     rate_out = jnp.where(req < 0.0, bal,
                                          jnp.minimum(req, bal))
                     balance[o.flow_type] = jnp.maximum(bal - rate_out, 0.0)
+                    out_tot[o.flow_type] = out_tot[o.flow_type] + rate_out
                     h_out = (
                         jnp.asarray(o.enthalpy)
                         if o.enthalpy > 0.0
@@ -1155,7 +1167,24 @@ class SourceNetwork:
                         prev[0] + balance[FLOW_WATER], in_hw,
                         prev[2] + balance[FLOW_STEAM], in_hs,
                     )
+                if collect is not None:
+                    # reference reinjector output fields
+                    # (setup_output.rst, source_network_reinjector.F90)
+                    collect.setdefault("reinject", {})[r.name] = {
+                        "water_rate": in_qw,
+                        "water_enthalpy": in_hw,
+                        "steam_rate": in_qs,
+                        "steam_enthalpy": in_hs,
+                        "output_water_rate": out_tot[FLOW_WATER],
+                        "output_steam_rate": out_tot[FLOW_STEAM],
+                        "output_rate": out_tot[FLOW_WATER]
+                        + out_tot[FLOW_STEAM],
+                        "overflow_water_rate": balance[FLOW_WATER],
+                        "overflow_steam_rate": balance[FLOW_STEAM],
+                    }
 
+        if collect is not None:
+            collect["group"] = {name: nf for name, nf in nodes.items()}
         return q, h, qw, hw, qs, hs
 
     def _progressive_scales(self, g: _Group, q, qw, qs, limits):

@@ -33,11 +33,12 @@ class HDF5Output:
             "cell_index",
             data=np.arange(self.n, dtype=np.int64)[:, None],
         )
+        cfg = (simulation.config.get("output", {}) or {}).get(
+            "fields", {}
+        ) or {}
+        aslist = lambda v: [v] if isinstance(v, str) else list(v or [])
         if fields is None:
-            cfg = (simulation.config.get("output", {}) or {}).get(
-                "fields", {}
-            ) or {}
-            extra = cfg.get("fluid", []) if isinstance(cfg, dict) else []
+            extra = aslist(cfg.get("fluid", [])) if isinstance(cfg, dict) else []
             fields = list(simulation.eos.default_output_fluid_fields)
             # required fields always included; extras appended
             for f in extra:
@@ -49,6 +50,118 @@ class HDF5Output:
         if simulation.sources:
             self.source_group = self.file.create_group("source_fields")
             self._src_ds = {}
+            self._write_source_constants(aslist(cfg.get(
+                "source",
+                ["natural_cell_index", "component", "rate", "enthalpy"],
+            )))
+        # flux (/face_fields) output: opt-in, empty by default
+        # (flow_simulation.F90:504, setup_output.rst "flux")
+        eos = simulation.eos
+        flux_names = list(eos.component_names)
+        if not eos.isothermal:
+            flux_names.append("energy")
+        flux_names += list(eos.phase_names[: eos.num_mobile_phases])
+        want = aslist(cfg.get("flux", []))
+        self.flux_fields = [
+            (nm, k) for k, nm in enumerate(flux_names) if nm in want
+        ]
+        self.face_group = None
+        if self.flux_fields:
+            self.face_group = self.file.create_group("face_fields")
+            self._face_ds = {}
+            self._write_face_constants(aslist(cfg.get(
+                "face_geometry", ["area", "distance"]
+            )))
+        self._write_geometry(aslist(cfg.get(
+            "cell_geometry", ["centroid", "volume"]
+        )))
+        self._write_minc()
+
+    def _write_source_constants(self, src_fields):
+        """Constant per-source integer datasets, written once
+        (flow_simulation.F90:2795-2924: source_index,
+        natural_cell_index, component as IS views)."""
+        net = self.sim.sources
+        ns = net.num_sources
+        col = lambda a: np.asarray(a, np.int64)[:, None]
+        if "source_index" in src_fields:
+            self.source_group.create_dataset(
+                "source_source_index", data=col(np.arange(ns))
+            )
+        if "natural_cell_index" in src_fields:
+            self.source_group.create_dataset(
+                "source_natural_cell_index", data=col(net.arrays.cell)
+            )
+        if "component" in src_fields:
+            comp = np.where(
+                np.asarray(self.sim.sources._base_rate) >= 0.0,
+                np.asarray(net.arrays.injection_component),
+                np.asarray(net.arrays.production_component),
+            ) if hasattr(net, "_base_rate") else np.asarray(
+                net.arrays.injection_component
+            )
+            self.source_group.create_dataset(
+                "source_component", data=col(comp)
+            )
+
+    def _write_geometry(self, geom_fields):
+        """Cell geometry datasets (flow_simulation.F90:2580-2621)."""
+        mesh = self.sim.mesh
+        n = self.n
+        if "centroid" in geom_fields:
+            self.file.create_dataset(
+                "cell_geometry_centroid",
+                data=np.asarray(mesh.cell_centroid)[:n],
+            )
+        if "volume" in geom_fields:
+            self.file.create_dataset(
+                "cell_geometry_volume",
+                data=np.asarray(mesh.cell_volume)[:n, None],
+            )
+
+    def _write_face_constants(self, face_geom):
+        """Face natural cell indices + geometry, written once when flux
+        output is on (flow_simulation.F90:2711-2791,2580-2621)."""
+        mesh = self.sim.mesh
+        fc = np.asarray(mesh.face_cells, np.int64)
+        ghost = np.asarray(mesh.is_ghost, bool)
+        # boundary ghost cells have no natural index; reference writes
+        # -(1-based boundary condition index); we record -1 per ghost
+        bidx = getattr(mesh, "cell_boundary_index", None)
+        idx = np.arange(len(ghost), dtype=np.int64)
+        if bidx is not None:
+            nat = np.where(ghost, -(np.asarray(bidx, np.int64) + 1), idx)
+        else:
+            nat = np.where(ghost, -1, idx)
+        self.file.create_dataset("face_cell_1", data=nat[fc[:, 0], None])
+        self.file.create_dataset("face_cell_2", data=nat[fc[:, 1], None])
+        if "area" in face_geom:
+            self.file.create_dataset(
+                "face_geometry_area",
+                data=np.asarray(mesh.face_area)[:, None],
+            )
+        if "distance" in face_geom:
+            self.file.create_dataset(
+                "face_geometry_distance",
+                data=np.asarray(mesh.face_distance),
+            )
+
+    def _write_minc(self):
+        """MINC level + parent natural index (/minc group,
+        flow_simulation.F90:2625-2691)."""
+        mesh = self.sim.mesh
+        level = getattr(mesh, "minc_level", None)
+        if level is None or not np.any(np.asarray(level) > 0):
+            return
+        g = self.file.create_group("minc")
+        n = self.n
+        g.create_dataset(
+            "level", data=np.asarray(level, np.int64)[:n, None]
+        )
+        g.create_dataset(
+            "parent",
+            data=np.asarray(mesh.minc_parent, np.int64)[:n, None],
+        )
 
     def _cell_dataset(self, name):
         if name not in self._cell_ds:
@@ -104,7 +217,8 @@ class HDF5Output:
         return np.asarray(arr)[: self.n, p]
 
     def write(self, index: int, time: float, fluid: FluidState,
-              source_data: Optional[dict] = None, tracer=None):
+              source_data: Optional[dict] = None, tracer=None,
+              fluxes=None):
         nt = self.time_ds.shape[0]
         self.time_ds.resize((nt + 1, 1))
         self.time_ds[nt, 0] = time
@@ -118,10 +232,29 @@ class HDF5Output:
                 ds = self._cell_dataset(f"tracer_{nm}")
                 ds.resize((nt + 1, self.n))
                 ds[nt] = x[: self.n, k]
+        if fluxes is not None and self.face_group is not None:
+            fx = np.asarray(fluxes)
+            for nm, k in self.flux_fields:
+                name = "flux_" + nm
+                if name not in self._face_ds:
+                    nf = fx.shape[0]
+                    self._face_ds[name] = self.face_group.create_dataset(
+                        name, shape=(0, nf), maxshape=(None, nf),
+                        dtype="f8",
+                    )
+                ds = self._face_ds[name]
+                ds.resize((ds.shape[0] + 1, ds.shape[1]))
+                ds[-1] = fx[:, k]
         if source_data and self.source_group is not None:
             for key, values in source_data.items():
                 values = np.asarray(values).reshape(-1)
-                name = "source_" + key
+                # keys arrive fully qualified (source_*, network_*);
+                # bare keys are legacy source fields
+                name = (
+                    key
+                    if key.startswith(("source_", "network_"))
+                    else "source_" + key
+                )
                 if name not in self._src_ds:
                     ns = len(values)
                     self._src_ds[name] = self.source_group.create_dataset(

@@ -682,3 +682,10 @@ class Simulation:
     def lhs_at(self, y, region):
         fluid, cond, err = self.system.derived_state(y, region, self.rock)
         return self.system.lhs(fluid, self.rock), fluid, err
+
+    def fluxes_at(self, y, region):
+        """[F, nflux] face fluxes at a state (for initial flux output;
+        flow_simulation.F90 initial_function_calls computes the RHS at
+        t0 when initial output is requested)."""
+        fluid, cond, _ = self.system.derived_state(y, region, self.rock)
+        return self.system.fluxes(fluid, cond, self.rock)

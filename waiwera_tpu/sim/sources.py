@@ -147,29 +147,23 @@ class Sources:
         return rate, enthalpy
 
 
-def source_inflows(
+def source_flows(
     fluid: FluidState,
     src: SourceArrays,
     rate: Array,
     injection_enthalpy: Array,
     num_primary: int,
     num_components: int,
-    num_cells: int,
     isothermal: bool,
 ) -> Array:
-    """[N, npv] cell inflows (per unit volume) from sources
-    (source.F90:386-486, source_network.F90 assemble_cell_inflows).
-
-    Differentiable in `fluid` (production terms follow mobility), so
-    source contributions enter the Jacobian's diagonal blocks through
-    the same AD chain as the balances.
-    """
+    """[ns, npv] per-source, per-equation flows (source.F90:386-486):
+    injection puts the rate into one mass component; production
+    distributes over components by phase mobility fractions; the last
+    column carries the energy flow for non-isothermal EOSs."""
     ns = src.cell.shape[0]
     npv = num_primary
     nc = num_components
     injecting = rate >= 0.0
-
-    flow = jnp.zeros((ns, npv))
 
     # --- injection: rate into one component --------------------------
     inj_comp = src.injection_component - 1  # 0-based
@@ -203,8 +197,31 @@ def source_inflows(
         mass_source = comp_eff < npv
         energy = jnp.where(mass_source, enthalpy * rate, 0.0)
         flow = flow.at[:, npv - 1].add(energy)
+    return flow
 
+
+def source_inflows(
+    fluid: FluidState,
+    src: SourceArrays,
+    rate: Array,
+    injection_enthalpy: Array,
+    num_primary: int,
+    num_components: int,
+    num_cells: int,
+    isothermal: bool,
+) -> Array:
+    """[N, npv] cell inflows (per unit volume) from sources
+    (source.F90:386-486, source_network.F90 assemble_cell_inflows).
+
+    Differentiable in `fluid` (production terms follow mobility), so
+    source contributions enter the Jacobian's diagonal blocks through
+    the same AD chain as the balances.
+    """
+    flow = source_flows(
+        fluid, src, rate, injection_enthalpy, num_primary,
+        num_components, isothermal,
+    )
     # scatter q / V into cells
-    inflow = jnp.zeros((num_cells, npv))
-    inflow = inflow.at[cell].add(flow / src.volume[:, None])
+    inflow = jnp.zeros((num_cells, num_primary))
+    inflow = inflow.at[src.cell].add(flow / src.volume[:, None])
     return inflow

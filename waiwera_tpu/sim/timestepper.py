@@ -264,11 +264,17 @@ class Timestepper:
         log.write("info", "timestepper", "start", time=t)
         wall0 = _walltime.time()
 
+        flux_nat = None
+        flux_out = self.output is not None and (
+            getattr(self.output, "face_group", None) is not None
+        )
         if self.output_initial and self.output is not None:
+            if flux_out:
+                flux_nat = np.asarray(self.sim.fluxes_at(y, region))
             fg, xg = self._out_state(fluid, aux_x)
             self.output.write(self.output_index, t, fg,
                               self._source_output(fg, t, dt_last, xg),
-                              tracer=xg)
+                              tracer=xg, fluxes=flux_nat)
             self.output_index += 1
 
         # fixed-size sequence state (timestepper.F90:1381-1453)
@@ -459,6 +465,11 @@ class Timestepper:
                 if tres is not None:
                     aux_x2, aux_al2 = aux_x, aux_al
                     aux_x, aux_al = tres.x, tres.al
+                if flux_out:
+                    f2g = getattr(self.sim, "flux_to_global", None)
+                    flux_nat = np.asarray(
+                        f2g(fluxes) if f2g is not None else fluxes
+                    )
                 since_output += 1
                 log.write(
                     "info",
@@ -477,7 +488,7 @@ class Timestepper:
                     self.output.write(
                         self.output_index, t, fg,
                         self._source_output(fg, t - dt_last, dt_last, xg),
-                        tracer=xg)
+                        tracer=xg, fluxes=flux_nat)
                     self.output_index += 1
                     if self.checkpoints.hit:
                         self.checkpoints.update()
@@ -500,7 +511,7 @@ class Timestepper:
             fg, xg = self._out_state(fluid, aux_x)
             self.output.write(self.output_index, t, fg,
                               self._source_output(fg, t, dt_last, xg),
-                              tracer=xg)
+                              tracer=xg, fluxes=flux_nat)
             self.output_index += 1
         log.write(
             "info",
@@ -585,15 +596,84 @@ class Timestepper:
         fg = asj(tg(fluid))
         return fg, (None if aux_x is None else asj(tg(aux_x)))
 
+    def _source_field_config(self):
+        """Requested output field lists with reference defaults
+        (setup_output.rst; hdf5io datasets named <vec>_<field>)."""
+        cfg = (self.sim.config.get("output", {}) or {}).get(
+            "fields", {}
+        ) or {}
+        aslist = lambda v: [v] if isinstance(v, str) else list(v or [])
+        return {
+            "source": aslist(
+                cfg.get(
+                    "source",
+                    ["natural_cell_index", "component", "rate",
+                     "enthalpy"],
+                )
+            ),
+            "network_group": aslist(
+                cfg.get(
+                    "network_group",
+                    ["rate", "enthalpy", "water_rate", "steam_rate"],
+                )
+            ),
+            "network_reinject": aslist(
+                cfg.get(
+                    "network_reinject",
+                    ["overflow_water_rate", "overflow_steam_rate"],
+                )
+            ),
+        }
+
     def _source_output(self, fluid, t0, dt, aux_x=None):
+        """Per-source / group / reinjector output fields
+        (flow_simulation.F90:2966-2981: source, network_group and
+        network_reinject vectors viewed into /source_fields)."""
         if self.sim.sources is None:
             return None
+        from waiwera_tpu.sim.sources import source_flows
+
         net = self.sim.sources
-        rate, enthalpy = net.flows(fluid, t0, t0 + dt)
-        out = {
-            "rate": np.asarray(rate),
-            "enthalpy": np.asarray(enthalpy),
-        }
+        fields = self._source_field_config()
+        collect = {}
+        rate, enthalpy = net.flows(fluid, t0, t0 + dt, collect=collect)
+        qw, hw, qs, hs = collect.get(
+            "separated", (None, None, None, None)
+        )
+        eos = self.sim.eos
+        out = {}
+        src_f = fields["source"]
+        if "rate" in src_f:
+            out["source_rate"] = np.asarray(rate)
+        if "enthalpy" in src_f:
+            out["source_enthalpy"] = np.asarray(enthalpy)
+        if qw is not None:
+            qw, hw, qs, hs = (np.asarray(a) for a in (qw, hw, qs, hs))
+            tot = np.abs(qw) + np.abs(qs)
+            sf = np.where(tot > 0.0, np.abs(qs) / np.where(tot > 0, tot, 1.0), 0.0)
+            for nm, v in (
+                ("water_rate", qw), ("water_enthalpy", hw),
+                ("steam_rate", qs), ("steam_enthalpy", hs),
+                ("steam_fraction", sf),
+            ):
+                if nm in src_f:
+                    out["source_" + nm] = v
+        comp_wanted = [
+            c for c in list(eos.component_names) + ["heat"]
+            if f"{c}_flow" in src_f
+        ]
+        if comp_wanted:
+            flow = np.asarray(source_flows(
+                fluid, net.arrays, rate, enthalpy,
+                eos.num_primary_variables, eos.num_components,
+                eos.isothermal,
+            ))
+            names = list(eos.component_names)
+            if not eos.isothermal:
+                names.append("heat")
+            for k, c in enumerate(names):
+                if f"{c}_flow" in src_f:
+                    out[f"source_{c}_flow"] = flow[:, k]
         if aux_x is not None and self.sim.tracers is not None:
             # tracer flows at sources (flow_simulation.F90
             # source_update_tracer_flow): production carries the cell
@@ -607,5 +687,41 @@ class Timestepper:
             xc = np.asarray(aux_x)[cells]
             q = np.asarray(rate)[:, None]
             inj = np.asarray(net.tracer_injection(t0, t0 + dt))
-            out["tracer_flow"] = np.where(q < 0, xc * frac * q, inj)
+            out["source_tracer_flow"] = np.where(
+                q < 0, xc * frac * q, inj
+            )
+        # source network group / reinjector node fields
+        groups = collect.get("group", {})
+        if groups and getattr(net, "groups", None):
+            gf = fields["network_group"]
+            per = {nm: [] for nm in gf}
+            for g in net.groups:
+                nf = groups[g.name]
+                tot = abs(float(nf.qw)) + abs(float(nf.qs))
+                vals = {
+                    "rate": nf.q, "enthalpy": nf.h,
+                    "water_rate": nf.qw, "water_enthalpy": nf.hw,
+                    "steam_rate": nf.qs, "steam_enthalpy": nf.hs,
+                    "steam_fraction": (
+                        abs(float(nf.qs)) / tot if tot > 0 else 0.0
+                    ),
+                }
+                for nm in gf:
+                    if nm in vals:
+                        per[nm].append(float(vals[nm]))
+            for nm, v in per.items():
+                if v:
+                    out["network_group_" + nm] = np.asarray(v)
+        rein = collect.get("reinject", {})
+        if rein and getattr(net, "reinjectors", None):
+            rf = fields["network_reinject"]
+            per = {nm: [] for nm in rf}
+            for r in net.reinjectors:
+                vals = rein.get(r.name, {})
+                for nm in rf:
+                    if nm in vals:
+                        per[nm].append(float(vals[nm]))
+            for nm, v in per.items():
+                if v:
+                    out["network_reinject_" + nm] = np.asarray(v)
         return out
