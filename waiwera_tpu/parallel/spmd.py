@@ -43,7 +43,7 @@ from waiwera_tpu.physics.state import RockState
 from waiwera_tpu.solver import bsr
 from waiwera_tpu.solver.bsr import BSRStructure
 from waiwera_tpu.solver.newton import NewtonParams, newton_solve
-from waiwera_tpu.solver.system import MethodCoeffs, System
+from waiwera_tpu.solver.system import MethodCoeffs, System, method_coeffs
 
 Array = jnp.ndarray
 
@@ -669,8 +669,6 @@ class DistributedSystem:
         """Distributed analogue of Simulation.make_step_fn: same traced
         signature, but all cell arrays are stacked local [D, n_local,
         ...] (use to_local/from_local to convert)."""
-        steady = method == "directss"
-        bdf2 = method == "bdf2"
         sim = self.sim
 
         loc = P(AXIS)
@@ -703,29 +701,9 @@ class DistributedSystem:
 
             t0 = t_last
             t1 = t_last + dt
-            if steady:
-                coeffs = MethodCoeffs(
-                    c_lhs=jnp.asarray(0.0),
-                    dt_eff=jnp.asarray(-1.0),
-                    const=jnp.zeros_like(lhs_last),
-                )
-            elif bdf2:
-                r = dt / dt_last
-                use_be = first > 0.5
-                c_l = jnp.where(use_be, 1.0, 1.0 + 2.0 * r)
-                dt_eff = jnp.where(use_be, dt, dt * (r + 1.0))
-                const = jnp.where(
-                    use_be,
-                    -lhs_last,
-                    -((r + 1.0) ** 2) * lhs_last + (r * r) * lhs_last2,
-                )
-                coeffs = MethodCoeffs(
-                    c_lhs=c_l, dt_eff=dt_eff, const=const
-                )
-            else:
-                coeffs = MethodCoeffs(
-                    c_lhs=jnp.asarray(1.0), dt_eff=dt, const=-lhs_last
-                )
+            coeffs = method_coeffs(
+                method, dt, dt_last, first, lhs_last, lhs_last2
+            )
             res = newton_solve(
                 system,
                 y,

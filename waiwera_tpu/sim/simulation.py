@@ -36,7 +36,7 @@ from waiwera_tpu.physics.state import (
 )
 from waiwera_tpu.sim.network import SourceNetwork
 from waiwera_tpu.solver.newton import NewtonParams, newton_solve
-from waiwera_tpu.solver.system import MethodCoeffs, System
+from waiwera_tpu.solver.system import MethodCoeffs, System, method_coeffs
 
 Array = jnp.ndarray
 
@@ -557,8 +557,6 @@ class Simulation:
         rock = self.rock
         sources = self.sources
         mesh = self.mesh_dev
-        steady = method == "directss"
-        bdf2 = method == "bdf2"
 
         @jax.jit
         def step(y, region, temperature, lhs_last, lhs_last2, t_last, dt,
@@ -568,29 +566,9 @@ class Simulation:
             rock = self.rock if rock_in is None else rock_in
             t0 = t_last
             t1 = t_last + dt
-            if steady:
-                coeffs = MethodCoeffs(
-                    c_lhs=jnp.asarray(0.0),
-                    dt_eff=jnp.asarray(-1.0),
-                    const=jnp.zeros_like(lhs_last),
-                )
-            elif bdf2:
-                r = dt / dt_last
-                use_be = first > 0.5
-                c_l = jnp.where(use_be, 1.0, 1.0 + 2.0 * r)
-                dt_eff = jnp.where(use_be, dt, dt * (r + 1.0))
-                const = jnp.where(
-                    use_be,
-                    -lhs_last,
-                    -((r + 1.0) ** 2) * lhs_last + (r * r) * lhs_last2,
-                )
-                coeffs = MethodCoeffs(c_lhs=c_l, dt_eff=dt_eff, const=const)
-            else:
-                coeffs = MethodCoeffs(
-                    c_lhs=jnp.asarray(1.0),
-                    dt_eff=dt,
-                    const=-lhs_last,
-                )
+            coeffs = method_coeffs(
+                method, dt, dt_last, first, lhs_last, lhs_last2
+            )
             res = newton_solve(
                 system,
                 y,

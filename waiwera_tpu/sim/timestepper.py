@@ -490,10 +490,13 @@ class Timestepper:
                         self._source_output(fg, t - dt_last, dt_last, xg),
                         tracer=xg, fluxes=flux_nat)
                     self.output_index += 1
-                    if self.checkpoints.hit:
-                        self.checkpoints.update()
                     if since_output == self.output_frequency:
                         since_output = 0
+                if self.checkpoints.hit:
+                    # advance past the hit checkpoint whether or not an
+                    # output file is attached: a stale hit flag would
+                    # clip every subsequent try to dt = 0
+                    self.checkpoints.update()
                 if status == FINAL:
                     finished = True
 

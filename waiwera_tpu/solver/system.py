@@ -42,6 +42,35 @@ class MethodCoeffs(NamedTuple):
     const: Array  # [N, npv]
 
 
+def method_coeffs(
+    method: str, dt, dt_last, first, lhs_last, lhs_last2
+) -> MethodCoeffs:
+    """Residual coefficients for the time integration methods
+    (timestepper.F90:345-452): backward Euler, variable-step BDF2
+    (BE on the first step), direct steady state. `first` is a float
+    mask (>0.5 on the run's first step)."""
+    if method == "directss":
+        return MethodCoeffs(
+            c_lhs=jnp.asarray(0.0),
+            dt_eff=jnp.asarray(-1.0),
+            const=jnp.zeros_like(lhs_last),
+        )
+    if method == "bdf2":
+        r = dt / dt_last
+        use_be = first > 0.5
+        c_l = jnp.where(use_be, 1.0, 1.0 + 2.0 * r)
+        dt_eff = jnp.where(use_be, dt, dt * (r + 1.0))
+        const = jnp.where(
+            use_be,
+            -lhs_last,
+            -((r + 1.0) ** 2) * lhs_last + (r * r) * lhs_last2,
+        )
+        return MethodCoeffs(c_lhs=c_l, dt_eff=dt_eff, const=const)
+    return MethodCoeffs(
+        c_lhs=jnp.asarray(1.0), dt_eff=dt, const=-lhs_last
+    )
+
+
 class System:
     """Couples an EOS, mesh and sources into residual/Jacobian
     evaluations on dense arrays."""
