@@ -164,15 +164,20 @@ def measure_bandwidth():
 
     def make_chain(k):
         @jax.jit
-        def run():
+        def run(c):
             a0 = jnp.ones(n, jnp.float32)
 
             def body(i, a):
-                return a + 1.5 * b  # read a, b; write a
+                # multiply-accumulate recurrence a' = a*c + b with a
+                # traced scalar c: unlike a' = a + const*b, repeated
+                # applications have no reassociation to a closed form,
+                # so XLA cannot fold the chain (which it did to a plain
+                # triad, reporting 2e11 GB/s). Reads a, b; writes a.
+                return a * c + b
 
             return jax.lax.fori_loop(0, k, body, a0)[:1]
 
-        return run
+        return lambda: run(jnp.float32(1.0 - 1e-7))
 
     per = time_fori(make_chain)
     return 3.0 * 4.0 * n / per

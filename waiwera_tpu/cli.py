@@ -81,6 +81,10 @@ def run_json(filename: str, echo_log: bool = False, platform=None,
         filename=log_filename, echo=echo_log or bool(lcfg.get("echo"))
     )
 
+    # default-value tracking on every config read (fson_mpi.F90:18-56)
+    from waiwera_tpu.utils.config import TrackedConfig
+
+    config = TrackedConfig(config)
     sim = Simulation(config)
     num_devices = eff_devices
     if num_devices > 1:
@@ -89,6 +93,7 @@ def run_json(filename: str, echo_log: bool = False, platform=None,
         sim = DistributedSimulation(sim, num_devices)
     output = HDF5Output(out_filename, sim)
     ts = Timestepper(config, sim, output=output, logger=logger)
+    config.defaults.log_to(logger)
     try:
         ts.run()
     finally:

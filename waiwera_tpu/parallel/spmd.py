@@ -851,6 +851,28 @@ class DistributedSimulation:
         rg = jnp.asarray(self.dist.from_local(region))
         return np.asarray(self.base.fluxes_at(yg, rg))
 
+    def dof_statistics(self) -> dict:
+        """Per-device DOF distribution + Kumar imbalance
+        (flow_simulation.F90:2998-3019): interior (non-boundary-ghost)
+        owned cells per device times unknowns/cell."""
+        plan = self.dist.plan
+        is_ghost = np.asarray(self.base.mesh.is_ghost, bool)
+        owned_interior = np.array([
+            int(np.sum(~is_ghost[
+                plan.local_cells[d][plan.owned_mask[d]]
+            ]))
+            for d in range(plan.num_devices)
+        ])
+        npv = self.eos.num_primary_variables
+        dmin = int(owned_interior.min()) * npv
+        dmax = int(owned_interior.max()) * npv
+        return {
+            "total": int(owned_interior.sum()) * npv,
+            "min": dmin,
+            "max": dmax,
+            "imbalance": (dmax - dmin) / dmin if dmin else 0.0,
+        }
+
     def lhs_at(self, y, region):
         """Initial balances: evaluated globally on host (init-time
         only), then scattered to the device mesh."""

@@ -667,3 +667,15 @@ class Simulation:
         t0 when initial output is requested)."""
         fluid, cond, _ = self.system.derived_state(y, region, self.rock)
         return self.system.fluxes(fluid, cond, self.rock)
+
+    def dof_statistics(self) -> dict:
+        """DOF totals + per-device imbalance (Kumar et al. 1994),
+        flow_simulation.F90:2998-3019. Single device: no imbalance."""
+        n = int(self.mesh.num_interior_cells)
+        npv = self.eos.num_primary_variables
+        return {
+            "total": n * npv,
+            "min": n * npv,
+            "max": n * npv,
+            "imbalance": 0.0,
+        }

@@ -261,6 +261,21 @@ class Timestepper:
         self.taken = 0
         self.output_index = 0
         since_output = 0
+        # simulation statistics (flow_simulation.F90:712-741): DOF
+        # distribution + Kumar imbalance, source network counts
+        stats = getattr(sim, "dof_statistics", None)
+        if stats is not None:
+            log.write("info", "simulation", "dof", **stats())
+        net = sim.sources
+        if net is not None and net.num_sources:
+            log.write("info", "simulation", "source",
+                      count=net.num_sources)
+            if getattr(net, "groups", None):
+                log.write("info", "simulation", "network.group",
+                          count=len(net.groups))
+            if getattr(net, "reinjectors", None):
+                log.write("info", "simulation", "network.reinject",
+                          count=len(net.reinjectors))
         log.write("info", "timestepper", "start", time=t)
         wall0 = _walltime.time()
 
