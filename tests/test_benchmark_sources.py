@@ -116,3 +116,46 @@ def test_reinjection(tmp_path):
     )
     for k, v in errs.items():
         assert v < 6e-2, f"reinjection {k}: {v}"
+
+
+def _newton_iterations(log_path):
+    import re
+
+    its = []
+    with open(log_path) as f:
+        for line in f:
+            m = re.search(
+                r"nonlinear_solver, end, \{converged: true, "
+                r"iterations: (\d+)", line
+            )
+            if m:
+                its.append(int(m.group(1)))
+    assert its, f"no solver log lines in {log_path}"
+    return its
+
+
+def test_reinjection_newton_cost_of_lagged_network(tmp_path):
+    """The group/reinjector rates are lagged in the Jacobian
+    (stop_gradient at sim/network.py group scaling + reinjector set
+    points; the reference instead widens the Jacobian sparsity for the
+    network couplings, flow_simulation.F90:3023-3084). This pins the
+    cost of lagging: the mean Newton iteration count on the
+    reinjection benchmark must stay within 1.2 iterations of the
+    network-free deliverability case run at the same settings (the
+    quadratic-convergence floor; measured ~2.4 vs ~3.4), and every
+    step must converge well inside the 8-iteration budget."""
+    d = os.path.join(BASE, "reinjection/run")
+    run_case(tmp_path, os.path.join(d, "reinjection.json"))
+    its = _newton_iterations(tmp_path / "reinjection.yaml")
+    run_case(
+        tmp_path,
+        os.path.join(BASE, "deliverability/run/deliv_delv.json"),
+    )
+    base = _newton_iterations(tmp_path / "deliv_delv.yaml")
+    mean_r = sum(its) / len(its)
+    mean_b = sum(base) / len(base)
+    assert mean_r <= mean_b + 1.2, (
+        f"lagged network costs {mean_r - mean_b:.2f} extra Newton "
+        f"iterations (reinjection {mean_r:.2f} vs floor {mean_b:.2f})"
+    )
+    assert max(its) <= 8, f"max Newton iterations {max(its)}"

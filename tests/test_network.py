@@ -154,3 +154,34 @@ def test_many_source_jaxpr_size_constant():
     qd = -1e-12 * mob * (P - 2.0e5)
     expect1 = np.sign(qd) * min(abs(qd), 5.0)
     np.testing.assert_allclose(q[1], expect1, rtol=1e-9)
+
+
+def test_zone_based_source_placement():
+    """'zones' in a source spec places a source in every zone cell
+    (source_setup.F90:250-345, setup_sources.rst)."""
+    from waiwera_tpu.mesh.rect import column_mesh
+
+    mesh = column_mesh([10.0] * 12)
+    config = {
+        "eos": {"name": "we"},
+        "initial": {"primary": [5.0e6, 180.0], "region": 1},
+        "mesh": {"zones": {"lower": {"cells": [8, 9, 10, 11]}}},
+        "source": [
+            {"name": "inj", "zones": "lower", "rate": 2.0,
+             "enthalpy": 500e3},
+            {"name": "top", "cell": 0, "rate": -1.0},
+        ],
+    }
+    sim = Simulation(config, mesh=mesh)
+    net = sim.sources
+    assert net.num_sources == 5
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(net.arrays.cell)), [0, 8, 9, 10, 11]
+    )
+    fluid0, _ = sim.initial_fluid()
+    q, h = net.flows(fluid0, 0.0, 1.0)
+    q = np.asarray(q)
+    cells = np.asarray(net.arrays.cell)
+    # each zone cell carries the full specified rate
+    np.testing.assert_allclose(q[cells != 0], 2.0)
+    np.testing.assert_allclose(q[cells == 0], -1.0)

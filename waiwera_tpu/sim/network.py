@@ -298,7 +298,7 @@ class SourceNetwork:
     """
 
     def __init__(self, specs: List[dict], network_cfg: dict, mesh, eos,
-                 thermo, tracer_names=()):
+                 thermo, tracer_names=(), zones=None):
         self.eos = eos
         self.thermo = thermo
         self.isothermal = eos.isothermal
@@ -310,9 +310,21 @@ class SourceNetwork:
         for i, spec in enumerate(specs):
             cells = (
                 [int(spec["cell"])]
-                if "cell" in spec
-                else [int(c) for c in np.atleast_1d(spec.get("cells", []))]
+                if "cell" in spec and spec["cell"] is not None
+                else [int(c) for c in np.atleast_1d(spec.get("cells") or [])]
             )
+            # zone-based placement (source_setup.F90:250-345,
+            # setup_sources.rst "zones"): a source is added to each
+            # cell of every listed zone, in addition to any cells
+            znames = spec.get("zones", []) or []
+            if isinstance(znames, str):
+                znames = [znames]
+            for zn in znames:
+                if not zones or zn not in zones:
+                    raise ValueError(
+                        f"source {i}: unknown zone {zn!r}"
+                    )
+                cells.extend(int(c) for c in np.asarray(zones[zn]))
             if not cells:
                 raise ValueError(f"source {i}: no cell given")
             ispec = {

@@ -128,6 +128,7 @@ class Simulation:
                 src_cfg, config.get("network", {}) or {}, mesh, self.eos,
                 self.thermo,
                 tracer_names=self.tracers.names if self.tracers else (),
+                zones=self.zones,
             )
             if src_cfg
             else None
