@@ -14,20 +14,47 @@ import os
 import sys
 
 
+def _apply_overrides(config: dict, overrides):
+    """Layer `path.to.key=value` command-line overrides onto the JSON
+    config — the analogue of the reference's PETSc option database
+    over JSON (waiwera.F90:75-84, SNES/KSPSetFromOptions). Values are
+    parsed as JSON literals, falling back to strings."""
+    for item in overrides or []:
+        if "=" not in item:
+            raise ValueError(f"--set expects path=value, got {item!r}")
+        path, _, raw = item.partition("=")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        keys = path.split(".")
+        d = config
+        for k in keys[:-1]:
+            nxt = d.get(k)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                d[k] = nxt
+            d = nxt
+        d[keys[-1]] = value
+
+
 def run_json(filename: str, echo_log: bool = False, platform=None,
-             num_devices: int = 0):
+             num_devices: int = 0, overrides=None):
     """Load a JSON model file and run it. Returns the Timestepper.
 
     num_devices > 1 runs the simulation domain-decomposed over that
     many devices of the jax platform (the analogue of `mpiexec -np N
     waiwera`, doc/user/run.rst:140-144); 0 reads
     config["parallel"]["devices"] (default 1 = single device).
+    overrides: list of "path.to.key=value" strings layered over the
+    JSON before anything reads it.
     """
     import jax
 
     base = os.path.dirname(os.path.abspath(filename))
     with open(filename) as f:
         config = json.load(f)
+    _apply_overrides(config, overrides)
 
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -121,9 +148,16 @@ def main(argv=None):
         "--devices", type=int, default=0,
         help="run domain-decomposed over N devices (like mpiexec -np N)",
     )
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="PATH=VALUE",
+        help="override a JSON config entry, e.g. "
+        "--set time.step.solver.linear.type=gmres (the PETSc "
+        "command-line option layering analogue)",
+    )
     args = parser.parse_args(argv)
     ts = run_json(args.filename, echo_log=args.echo_log,
-                  platform=args.platform, num_devices=args.devices)
+                  platform=args.platform, num_devices=args.devices,
+                  overrides=args.set)
     return 0 if not ts.aborted else 1
 
 

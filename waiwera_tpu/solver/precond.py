@@ -168,6 +168,38 @@ def _transpose_blocks(matrix: BSRMatrix, split: ILU0Data) -> Array:
     return matrix.data[pos]
 
 
+def lu(matrix: BSRMatrix, dtype=None):
+    """Direct dense LU preconditioner (the reference's PCLU option,
+    timestepper.F90:1823-1829). The BSR matrix is densified and
+    factorised once per Jacobian; only sensible for small systems (the
+    reference offers LU for the same small/debugging use), guarded at
+    20k rows."""
+    n = matrix.structure.num_rows
+    b = matrix.structure.block_size
+    nd = n * b
+    if nd > 20000:
+        raise ValueError(
+            f"lu preconditioner: system too large ({nd} dof > 20000); "
+            "use bjacobi/asm/ilu"
+        )
+    rows = matrix.structure.rows
+    cols = matrix.structure.indices
+    dense = jnp.zeros((n, b, n, b), matrix.data.dtype)
+    dense = dense.at[rows, :, cols, :].add(matrix.data)
+    dense = dense.reshape(nd, nd)
+    lu_fac, piv = jax.scipy.linalg.lu_factor(dense)
+    if dtype is not None:
+        lu_fac = lu_fac.astype(dtype)
+
+    def apply(r: Array) -> Array:
+        x = jax.scipy.linalg.lu_solve(
+            (lu_fac, piv), r.reshape(nd).astype(lu_fac.dtype)
+        )
+        return x.reshape(n, b).astype(r.dtype)
+
+    return apply
+
+
 def make_preconditioner(
     name: str,
     matrix: BSRMatrix,
@@ -177,11 +209,14 @@ def make_preconditioner(
 ):
     """PC factory matching the reference's JSON names
     (timestepper.F90:1743-1835): bjacobi, asm/ilu (mapped to the
-    data-parallel DILU/SGS scheme), none."""
+    data-parallel DILU/SGS scheme), lu (dense direct, small systems),
+    none."""
     if name in ("none",):
         return lambda r: r
     if name in ("bjacobi", "jacobi"):
         return block_jacobi(matrix, dtype=dtype)
+    if name in ("lu",):
+        return lu(matrix, dtype=dtype)
     if name in ("asm", "ilu", "dilu", "sgs"):
         if split is None:
             split = ilu0_split(matrix.structure)

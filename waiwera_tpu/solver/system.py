@@ -167,6 +167,8 @@ class System:
             elif pc_name in ("bjacobi", "jacobi"):
                 dinv = invert_blocks(dia.diag_band_blocks(m64))
                 pc = dia.dia_block_jacobi(dinv, dtype)
+            elif pc_name in ("lu",):
+                pc = _precond.lu(mat, dtype=dtype)
             else:  # asm / ilu / dilu / sgs -> shift-based DILU
                 pc = dia.dia_dilu(
                     m64, invert_blocks, sweeps=sweeps, dtype=dtype
