@@ -114,3 +114,69 @@ def test_nonorthogonal_distance_correction():
     np.testing.assert_allclose(
         m.face_distance.sum(axis=1), m.face_distance12, rtol=1e-12
     )
+
+
+def test_gmsh_41_binary_matches_ascii(tmp_path):
+    """The same 2x2 quad mesh written as gmsh 4.1 ASCII and 4.1 binary
+    (and 2.2 ASCII) reads to identical geometry."""
+    import struct
+
+    from waiwera_tpu.mesh.gmsh import read_gmsh
+
+    # 3x3 node grid, 4 quads
+    coords = [(float(i), float(j), 0.0) for j in range(3) for i in range(3)]
+    quads = [
+        (1, 2, 5, 4), (2, 3, 6, 5), (4, 5, 8, 7), (5, 6, 9, 8)
+    ]
+
+    asc22 = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat",
+             "$Nodes", "9"]
+    for i, (x, y, z) in enumerate(coords):
+        asc22.append(f"{i+1} {x} {y} {z}")
+    asc22 += ["$EndNodes", "$Elements", "4"]
+    for k, q in enumerate(quads):
+        asc22.append(f"{k+1} 3 2 0 0 " + " ".join(map(str, q)))
+    asc22 += ["$EndElements", ""]
+    p22 = tmp_path / "m22.msh"
+    p22.write_text("\n".join(asc22))
+
+    asc41 = ["$MeshFormat", "4.1 0 8", "$EndMeshFormat",
+             "$Nodes", "1 9 1 9", "2 1 0 9"]
+    asc41 += [str(i + 1) for i in range(9)]
+    asc41 += [f"{x} {y} {z}" for x, y, z in coords]
+    asc41 += ["$EndNodes", "$Elements", "1 4 1 4", "2 1 3 4"]
+    for k, q in enumerate(quads):
+        asc41.append(f"{k+1} " + " ".join(map(str, q)))
+    asc41 += ["$EndElements", ""]
+    p41 = tmp_path / "m41.msh"
+    p41.write_text("\n".join(asc41))
+
+    # 4.1 binary (little-endian, size_t = 8)
+    b = bytearray()
+    b += b"$MeshFormat\n4.1 1 8\n"
+    b += struct.pack("<i", 1)
+    b += b"\n$EndMeshFormat\n$Nodes\n"
+    b += struct.pack("<4Q", 1, 9, 1, 9)
+    b += struct.pack("<3iQ", 2, 1, 0, 9)
+    b += struct.pack("<9Q", *range(1, 10))
+    for x, y, z in coords:
+        b += struct.pack("<3d", x, y, z)
+    b += b"$EndNodes\n$Elements\n"
+    b += struct.pack("<4Q", 1, 4, 1, 4)
+    b += struct.pack("<3iQ", 2, 1, 3, 4)
+    for k, q in enumerate(quads):
+        b += struct.pack("<5Q", k + 1, *q)
+    b += b"$EndElements\n"
+    p41b = tmp_path / "m41b.msh"
+    p41b.write_bytes(bytes(b))
+
+    meshes = [read_gmsh(str(p)) for p in (p22, p41, p41b)]
+    ref = meshes[0]
+    assert ref.num_cells == 4
+    for m in meshes[1:]:
+        assert m.num_cells == ref.num_cells
+        assert m.num_faces == ref.num_faces
+        np.testing.assert_allclose(m.cell_centroid, ref.cell_centroid)
+        np.testing.assert_allclose(m.cell_volume, ref.cell_volume)
+        np.testing.assert_array_equal(m.face_cells, ref.face_cells)
+        np.testing.assert_allclose(m.face_area, ref.face_area)

@@ -78,8 +78,15 @@ def read_gmsh(
 
     if version >= 4.0:
         if binary:
-            raise NotImplementedError("gmsh 4 binary not supported yet")
-        nodes, elements = _read_msh41_ascii(data, sections)
+            # endianness probe: the int 1 follows the format line
+            raw = data[s:e].split(b"\n", 1)[1][:4]
+            swap = (
+                len(raw) == 4
+                and struct.unpack("<i", raw)[0] != 1
+            )
+            nodes, elements = _read_msh41_binary(data, sections, swap)
+        else:
+            nodes, elements = _read_msh41_ascii(data, sections)
     else:
         if binary:
             nodes, elements = _read_msh22_binary(data, sections)
@@ -178,6 +185,65 @@ def _read_msh22_binary(data, sections):
             elements.append((name, conn))
             pos += stride
         read += nfollow
+    return nodes, elements
+
+
+def _read_msh41_binary(data, sections, swap=False):
+    """Gmsh 4.1 binary: size_t (8-byte) counts/tags, int entity
+    headers, double coordinates (gmsh doc 'MSH file format 4.1')."""
+    end = ">" if swap else "<"
+    u8 = struct.Struct(end + "Q")
+    i4 = struct.Struct(end + "i")
+
+    def read_u8(pos):
+        return u8.unpack_from(data, pos)[0], pos + 8
+
+    def read_i4(pos):
+        return i4.unpack_from(data, pos)[0], pos + 4
+
+    s, e = sections["Nodes"]
+    pos = s
+    num_blocks, pos = read_u8(pos)
+    _num_nodes, pos = read_u8(pos)
+    _min_tag, pos = read_u8(pos)
+    _max_tag, pos = read_u8(pos)
+    nodes = {}
+    for _ in range(num_blocks):
+        _dim, pos = read_i4(pos)
+        _tag, pos = read_i4(pos)
+        parametric, pos = read_i4(pos)
+        nb, pos = read_u8(pos)
+        tags = np.frombuffer(
+            data, dtype=end + "u8", count=nb, offset=pos
+        )
+        pos += 8 * nb
+        ncoord = 3 + (3 if parametric else 0)
+        coords = np.frombuffer(
+            data, dtype=end + "f8", count=nb * ncoord, offset=pos
+        ).reshape(nb, ncoord)
+        pos += 8 * nb * ncoord
+        for t, c in zip(tags, coords):
+            nodes[int(t)] = (c[0], c[1], c[2])
+
+    s, e = sections["Elements"]
+    pos = s
+    num_blocks, pos = read_u8(pos)
+    _num_elems, pos = read_u8(pos)
+    _min_tag, pos = read_u8(pos)
+    _max_tag, pos = read_u8(pos)
+    elements = []
+    for _ in range(num_blocks):
+        _dim, pos = read_i4(pos)
+        _tag, pos = read_i4(pos)
+        etype, pos = read_i4(pos)
+        nb, pos = read_u8(pos)
+        name, nv = _TYPES[etype]
+        block = np.frombuffer(
+            data, dtype=end + "u8", count=nb * (1 + nv), offset=pos
+        ).reshape(nb, 1 + nv)
+        pos += 8 * nb * (1 + nv)
+        for row in block:
+            elements.append((name, [int(x) for x in row[1:]]))
     return nodes, elements
 
 
