@@ -39,7 +39,7 @@ def _apply_overrides(config: dict, overrides):
 
 
 def run_json(filename: str, echo_log: bool = False, platform=None,
-             num_devices: int = 0, overrides=None):
+             num_devices: int = 0, overrides=None, profile_dir=None):
     """Load a JSON model file and run it. Returns the Timestepper.
 
     num_devices > 1 runs the simulation domain-decomposed over that
@@ -122,7 +122,16 @@ def run_json(filename: str, echo_log: bool = False, platform=None,
     ts = Timestepper(config, sim, output=output, logger=logger)
     config.defaults.log_to(logger)
     try:
-        ts.run()
+        if profile_dir:
+            # jax profiler trace with the named scopes around the hot
+            # sections (the reference's -log_view / PetscLogEvent
+            # analogue, profiling.F90:28-64)
+            import jax.profiler
+
+            with jax.profiler.trace(profile_dir):
+                ts.run()
+        else:
+            ts.run()
     finally:
         output.close()
         logger.close()
@@ -149,6 +158,11 @@ def main(argv=None):
         help="run domain-decomposed over N devices (like mpiexec -np N)",
     )
     parser.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="write a jax profiler trace of the run to DIR "
+        "(the -log_view analogue; view with tensorboard)",
+    )
+    parser.add_argument(
         "--set", action="append", default=[], metavar="PATH=VALUE",
         help="override a JSON config entry, e.g. "
         "--set time.step.solver.linear.type=gmres (the PETSc "
@@ -157,7 +171,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
     ts = run_json(args.filename, echo_log=args.echo_log,
                   platform=args.platform, num_devices=args.devices,
-                  overrides=args.set)
+                  overrides=args.set, profile_dir=args.profile)
     return 0 if not ts.aborted else 1
 
 

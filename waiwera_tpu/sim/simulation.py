@@ -484,7 +484,16 @@ class Simulation:
     def _initial_from_file(self, ic, mesh: Mesh):
         """Restart from an HDF5 output file (initial.F90:421-679):
         loads the EOS's required output fluid fields at the given time
-        index (default -1 = last), mapped by natural cell index."""
+        index (default -1 = last), mapped by natural cell index.
+
+        The reference distinguishes 'minimal' (required fields ->
+        primaries) from 'full fluid vector' restarts because its fluid
+        Vec is stateful between steps. Here the fluid state is a pure
+        function of (primary, region) recomputed every residual, so
+        the minimal restart IS exact continuation: any extra fluid
+        fields in the file are derived quantities that the first
+        residual evaluation reproduces bit-for-bit from the loaded
+        primaries."""
         import h5py
 
         index = ic.get("index", -1)

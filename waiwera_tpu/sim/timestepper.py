@@ -227,13 +227,25 @@ class Timestepper:
     # ------------------------------------------------------------------
 
     def _monitor(self, num_iterations, lhs_new, lhs_last):
-        """Adaptor monitor (timestepper.F90:277-310)."""
+        """Adaptor monitor (timestepper.F90:277-310). The change
+        monitor reduces on device and transfers one scalar (the old
+        numpy version pulled both full LHS arrays to host every
+        accepted step)."""
         if self.adapt_method == "iteration":
             return float(num_iterations)
-        eps = 1e-3
-        diff = np.abs(np.asarray(lhs_new) - np.asarray(lhs_last))
-        scale = np.maximum(np.abs(np.asarray(lhs_last)), eps)
-        return float(np.max(diff / scale))
+        if not hasattr(self, "_change_eta"):
+            import jax
+
+            @jax.jit
+            def eta(new, last):
+                eps = 1e-3
+                return jnp.max(
+                    jnp.abs(new - last)
+                    / jnp.maximum(jnp.abs(last), eps)
+                )
+
+            self._change_eta = eta
+        return float(self._change_eta(lhs_new, lhs_last))
 
     def run(self, max_wall_seconds: Optional[float] = None):
         sim = self.sim
