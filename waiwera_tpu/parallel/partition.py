@@ -108,9 +108,19 @@ def _local_rcm(own: np.ndarray, face_cells: np.ndarray, n: int):
     return own
 
 
-def _rcb(centroids: np.ndarray, ids: np.ndarray, num_parts: int):
+def _rcb(
+    centroids: np.ndarray,
+    ids: np.ndarray,
+    num_parts: int,
+    weights: np.ndarray = None,
+):
     """Recursive coordinate bisection: split ids into num_parts
-    near-equal groups by medians along the longest bounding-box axis."""
+    near-equal groups by medians along the longest bounding-box axis.
+
+    weights: optional per-global-cell work weights (length num_cells);
+    splits then balance total weight instead of cell count (the
+    DOF-weighted rebalance of mesh.F90:3618-3682, where MINC chains
+    make cells unequal)."""
     if num_parts == 1:
         return [ids]
     n_left_parts = num_parts // 2
@@ -118,10 +128,14 @@ def _rcb(centroids: np.ndarray, ids: np.ndarray, num_parts: int):
     span = centroids[ids].max(axis=0) - centroids[ids].min(axis=0)
     axis = int(np.argmax(span))
     order = ids[np.argsort(centroids[ids, axis], kind="stable")]
-    k = int(round(len(ids) * frac))
+    if weights is None:
+        k = int(round(len(ids) * frac))
+    else:
+        cw = np.cumsum(weights[order])
+        k = int(np.searchsorted(cw, frac * cw[-1]))
     k = min(max(k, 1), len(ids) - 1)
-    return _rcb(centroids, order[:k], n_left_parts) + _rcb(
-        centroids, order[k:], num_parts - n_left_parts
+    return _rcb(centroids, order[:k], n_left_parts, weights) + _rcb(
+        centroids, order[k:], num_parts - n_left_parts, weights
     )
 
 
@@ -140,9 +154,31 @@ def build_partition(mesh: Mesh, num_devices: int) -> PartitionPlan:
     is_ghost = np.asarray(mesh.is_ghost, bool)
     interior = np.nonzero(~is_ghost)[0]
     part = np.zeros(n, np.int64)
-    groups = _rcb(centroids, interior, num_devices)
+    # MINC meshes: partition the fracture/regular cells with each
+    # weighted by its whole chain (1 + matrix cells), then place matrix
+    # cells on their fracture cell's device — chains never cross
+    # devices and balance counts DOF, not just fracture cells (the
+    # explicit post-MINC rebalance of mesh.F90:3618-3682).
+    minc_level = getattr(mesh, "minc_level", None)
+    minc_parent = getattr(mesh, "minc_parent", None)
+    has_minc = (
+        minc_level is not None
+        and minc_parent is not None
+        and np.any(np.asarray(minc_level) > 0)
+    )
+    if has_minc:
+        level = np.asarray(minc_level, np.int64)
+        parent = np.asarray(minc_parent, np.int64)
+        chain = np.bincount(parent[interior], minlength=n)
+        prim = interior[level[interior] == 0]
+        groups = _rcb(centroids, prim, num_devices, weights=chain)
+    else:
+        groups = _rcb(centroids, interior, num_devices)
     for d, ids in enumerate(groups):
         part[ids] = d
+    if has_minc:
+        mat = interior[level[interior] > 0]
+        part[mat] = part[parent[mat]]
     if num_devices > 1:
         try:
             from waiwera_tpu import native
@@ -153,14 +189,19 @@ def build_partition(mesh: Mesh, num_devices: int) -> PartitionPlan:
             part_g = native.partition_graph(
                 indptr, indices, len(interior), num_devices
             )
-            sizes = np.bincount(part_g, minlength=num_devices)
+            cand = np.zeros(n, np.int64)
+            cand[interior] = part_g
+            if has_minc:
+                # keep chains whole on the candidate too
+                cand[mat] = cand[parent[mat]]
+            sizes = np.bincount(
+                cand[interior], minlength=num_devices
+            )
             ideal = len(interior) / num_devices
             balanced = (
                 sizes.min() > 0 and sizes.max() <= 1.2 * ideal
             )
             if balanced:
-                cand = np.zeros(n, np.int64)
-                cand[interior] = part_g
                 inner = ~(is_ghost[face_cells[:, 0]]
                           | is_ghost[face_cells[:, 1]])
                 if _edge_cut(cand, face_cells[inner]) < _edge_cut(

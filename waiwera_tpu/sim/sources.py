@@ -7,22 +7,20 @@ over components by phase mobility fractions and produces the
 corresponding flowing enthalpy. Component index num_primary_variables
 means direct heat input.
 
-Rates and enthalpies may be driven by time tables (source_control.F90
-rate/enthalpy tables, averaged over the step interval). Deliverability
-and network groups/reinjectors are later-stage features tracked in
-SURVEY.md sections 2.4.
+Rates and enthalpies are computed by the source network
+(sim/network.py: tables, deliverability, groups, reinjectors); this
+module holds the per-source flow kernels and the cell scatter they
+share.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax.numpy as jnp
 
 from waiwera_tpu.physics.state import FluidState
-from waiwera_tpu.utils.interpolation import InterpolationTable, from_json as table_from_json
 
 Array = jnp.ndarray
 
@@ -62,89 +60,6 @@ def gather_cell_state(fluid: FluidState, cell: Array) -> SourceCellState:
         mass_fraction=fluid.mass_fraction[cell],
         mobility=fluid.mobility()[cell],
     )
-
-
-@dataclass
-class SourceControls:
-    """Host-side time controls for rates/enthalpies."""
-
-    base_rate: np.ndarray  # [ns]
-    base_enthalpy: np.ndarray  # [ns]
-    rate_tables: List  # per source: InterpolationTable or None
-    enthalpy_tables: List
-
-
-class Sources:
-    """Container combining static arrays + host controls."""
-
-    def __init__(self, specs: List[dict], mesh, eos):
-        ns = len(specs)
-        self.num_sources = ns
-        self.names = []
-        cell = np.zeros(ns, dtype=np.int64)
-        rate = np.zeros(ns)
-        enthalpy = np.zeros(ns)
-        inj_comp = np.zeros(ns, dtype=np.int64)
-        prod_comp = np.zeros(ns, dtype=np.int64)
-        rate_tables = []
-        enthalpy_tables = []
-        for i, spec in enumerate(specs):
-            self.names.append(spec.get("name", f"source {i}"))
-            if "cell" in spec:
-                cell[i] = int(spec["cell"])
-            elif "cells" in spec:
-                cells = spec["cells"]
-                if len(cells) != 1:
-                    raise NotImplementedError(
-                        "multi-cell sources not yet supported"
-                    )
-                cell[i] = int(cells[0])
-            r = spec.get("rate", 0.0)
-            if isinstance(r, (list, np.ndarray)):
-                tab = table_from_json(r, spec.get("interpolation_spec"))
-                rate_tables.append(tab)
-            else:
-                rate[i] = float(r)
-                rate_tables.append(None)
-            h = spec.get("enthalpy", 83.9e3)
-            if isinstance(h, (list, np.ndarray)):
-                enthalpy_tables.append(table_from_json(h))
-            else:
-                enthalpy[i] = float(h)
-                enthalpy_tables.append(None)
-            comp = int(spec.get("component", 0))
-            # reference: "component" sets both injection and production
-            # component; injection default 1, production default 0
-            # (= distribute over components)
-            inj_comp[i] = comp if comp > 0 else 1
-            prod_comp[i] = comp
-        self.arrays = SourceArrays(
-            cell=jnp.asarray(cell, jnp.int32),
-            injection_component=jnp.asarray(inj_comp, jnp.int32),
-            production_component=jnp.asarray(prod_comp, jnp.int32),
-            volume=jnp.asarray(mesh.cell_volume[cell]),
-        )
-        self.controls = SourceControls(
-            base_rate=rate,
-            base_enthalpy=enthalpy,
-            rate_tables=rate_tables,
-            enthalpy_tables=enthalpy_tables,
-        )
-        self.eos = eos
-
-    def rates_at(self, t0: float, t1: float):
-        """Evaluate rate/enthalpy controls averaged over the step
-        interval (device arrays [ns], traced-time friendly)."""
-        ns = self.num_sources
-        rate = jnp.asarray(self.controls.base_rate)
-        enthalpy = jnp.asarray(self.controls.base_enthalpy)
-        for i, tab in enumerate(self.controls.rate_tables):
-            if tab is not None:
-                rate = rate.at[i].set(tab.average(t0, t1)[0])
-        for i, tab in enumerate(self.controls.enthalpy_tables):
-            if tab is not None:
-                enthalpy = enthalpy.at[i].set(tab.average(t0, t1)[0])
-        return rate, enthalpy
 
 
 def source_flows(

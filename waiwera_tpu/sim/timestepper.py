@@ -336,9 +336,6 @@ class Timestepper:
                 else:
                     if (
                         self.stop_time is not None
-                        and t_try + 1e-10 * max(dt, 1e-300) * dt >= self.stop_time
-                    ) or (
-                        self.stop_time is not None
                         and t_try + self._termination_tol() * dt > self.stop_time
                     ):
                         dt = self.stop_time - t

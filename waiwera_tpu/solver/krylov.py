@@ -175,28 +175,38 @@ def gmres(
 
         # solve least squares min ||beta e1 - H y|| by Givens rotations
         # (no LAPACK custom calls: TPU has no f64 QR/SVD)
-        from waiwera_tpu.solver.smallblocks import hessenberg_lstsq
+        from waiwera_tpu.solver.smallblocks import hessenberg_lstsq_res
 
-        y = hessenberg_lstsq(H, beta, m).astype(b.dtype)
+        y, res_profile = hessenberg_lstsq_res(H, beta, m)
+        y = y.astype(b.dtype)
         dx = V[:m].T @ y  # [n]
         x_new = x + precond(unflat(dx))
-        return x_new
+        # true inner-iteration count: the GMRES residual after j+1
+        # Arnoldi steps is res_profile[j] (monotone), so the final
+        # partial cycle counts only the steps it needed (PETSc
+        # KSPGetIterationNumber semantics)
+        inner = jnp.minimum(
+            jnp.sum(res_profile > tol).astype(jnp.int32) + 1, m
+        )
+        return x_new, inner
 
     def cond(state):
-        x, k, rnorm = state
+        x, k, its, rnorm = state
         return (rnorm > tol) & (k < max_restarts) & jnp.isfinite(rnorm)
 
     def body(state):
-        x, k, _ = state
-        x_new = arnoldi_cycle(x)
+        x, k, its, _ = state
+        x_new, inner = arnoldi_cycle(x)
         rnorm = _norm(b - matvec(x_new))
-        return (x_new, k + 1, rnorm)
+        return (x_new, k + 1, its + inner, rnorm)
 
     r0n = _norm(b - matvec(x))
-    x, k, rnorm = lax.while_loop(cond, body, (x, jnp.int32(0), r0n))
+    x, k, its, rnorm = lax.while_loop(
+        cond, body, (x, jnp.int32(0), jnp.int32(0), r0n)
+    )
     return KrylovResult(
         x=x,
-        iterations=k * restart,
+        iterations=its,
         residual_norm=rnorm,
         converged=(rnorm <= tol) & jnp.isfinite(rnorm),
     )
@@ -254,7 +264,7 @@ def lgmres(
     def unflat(v):
         return v.reshape(shape)
 
-    from waiwera_tpu.solver.smallblocks import hessenberg_lstsq
+    from waiwera_tpu.solver.smallblocks import hessenberg_lstsq_res
 
     def cycle(x, Z, nz):
         r = b - matvec(x)
@@ -291,34 +301,38 @@ def lgmres(
             return (V_new, H_new, Q_new, brk | (wnorm <= tiny))
 
         V, H, Q, _ = lax.fori_loop(0, m, body, (V, H, Q, False))
-        y = hessenberg_lstsq(H, beta, m).astype(b.dtype)
+        y, res_profile = hessenberg_lstsq_res(H, beta, m)
+        y = y.astype(b.dtype)
         dx = Q.T @ y  # [n] — Q columns already in solution space
         x_new = x + unflat(dx)
+        inner = jnp.minimum(
+            jnp.sum(res_profile > tol).astype(jnp.int32) + 1, m
+        )
         if k_aug > 0:
             dxn = jnp.sqrt(reduce_sum(dx @ dx))
             z_new = dx / jnp.where(dxn > tiny, dxn, 1.0)
             Z = jnp.roll(Z, 1, axis=0).at[0].set(z_new)
             nz = jnp.minimum(nz + 1, k_aug)
-        return x_new, Z, nz
+        return x_new, Z, nz, inner
 
     def cond(state):
-        x, k, rnorm, Z, nz = state
+        x, k, its, rnorm, Z, nz = state
         return (rnorm > tol) & (k < max_restarts) & jnp.isfinite(rnorm)
 
     def body(state):
-        x, k, _, Z, nz = state
-        x_new, Z, nz = cycle(x, Z, nz)
+        x, k, its, _, Z, nz = state
+        x_new, Z, nz, inner = cycle(x, Z, nz)
         rnorm = _norm(b - matvec(x_new))
-        return (x_new, k + 1, rnorm, Z, nz)
+        return (x_new, k + 1, its + inner, rnorm, Z, nz)
 
     Z0 = jnp.zeros((max(k_aug, 1), n), b.dtype)
     r0n = _norm(b - matvec(x))
-    x, k, rnorm, _, _ = lax.while_loop(
-        cond, body, (x, jnp.int32(0), r0n, Z0, jnp.int32(0))
+    x, k, its, rnorm, _, _ = lax.while_loop(
+        cond, body, (x, jnp.int32(0), jnp.int32(0), r0n, Z0, jnp.int32(0))
     )
     return KrylovResult(
         x=x,
-        iterations=k * m,
+        iterations=its,
         residual_norm=rnorm,
         converged=(rnorm <= tol) & jnp.isfinite(rnorm),
     )

@@ -95,7 +95,17 @@ def invert_blocks(a: Array) -> Array:
 def hessenberg_lstsq(H: Array, beta: Array, m: int) -> Array:
     """Solve min ||beta e1 - H y|| for upper-Hessenberg H [m+1, m]
     by Givens rotations (GMRES least squares), pure jnp."""
+    return hessenberg_lstsq_res(H, beta, m)[0]
+
+
+def hessenberg_lstsq_res(H: Array, beta: Array, m: int):
+    """hessenberg_lstsq plus the per-step residual profile:
+    res[j] = |g[j+1]| after processing column j, which is the GMRES
+    residual norm achievable with j+1 Arnoldi vectors. Lets callers
+    report true inner-iteration counts (PETSc KSPGetIterationNumber
+    semantics) instead of whole-cycle multiples."""
     g = jnp.zeros(m + 1).at[0].set(beta)
+    res = jnp.zeros(m)
     R = H
     for j in range(m):
         a = R[j, j]
@@ -110,6 +120,7 @@ def hessenberg_lstsq(H: Array, beta: Array, m: int) -> Array:
         gj = c * g[j] + s * g[j + 1]
         gj1 = -s * g[j] + c * g[j + 1]
         g = g.at[j].set(gj).at[j + 1].set(gj1)
+        res = res.at[j].set(jnp.abs(gj1))
     # back substitution on R[:m, :m] (upper triangular)
     y = jnp.zeros(m)
     for j in range(m - 1, -1, -1):
@@ -118,4 +129,4 @@ def hessenberg_lstsq(H: Array, beta: Array, m: int) -> Array:
         y = y.at[j].set(
             jnp.where(jnp.abs(diag) > 1e-300, rhs / jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0), 0.0)
         )
-    return y
+    return y, res
