@@ -7,32 +7,38 @@ a deliverability production well and a cold reinjection well. One
 implicit timestep = residuals + AD block-Jacobian + BiCGStab Krylov
 solves + phase-transition passes, all on the attached accelerator.
 
-Timing methodology: on tunneled/async backends `block_until_ready` may
-ack before the device finishes, so every measured region is forced by a
-real data dependency — each launch consumes a scalar derived from the
-previous launch's output, and the region ends with a host transfer.
-Sub-millisecond ops (SpMV, triad) are chained inside one jit via
-lax.fori_loop and measured by the slope between two chain lengths,
-which also cancels the host round-trip latency.
+Timing methodology (fixed in r4): every measured region ends with a
+host transfer of a value derived from the region's outputs, per
+repetition (np.asarray of a scalar slice). The r1-r3 "dependency
+chain" trick under-measured by ~7x on the tunneled backend — chained
+launches were acknowledged before the device finished — so r1-r3
+step_seconds/dof-per-s history is not comparable. Sub-millisecond ops
+(SpMV, stream) are chained inside one jit via lax.fori_loop and
+measured by the slope between two chain lengths.
 
 Reported alongside the headline dof/s (extra keys in the same JSON
 line):
-- spmv_nnz_per_s + spmv_roofline_fraction: the assembled Jacobian's
-  DIA/Pallas SpMV rate vs the memory-bandwidth speed of light, where
-  the light speed is MEASURED on the same device with a streaming
-  triad (bytes = matrix bands + x read + y write).
-- assembly_seconds / linear_seconds: one residual+Jacobian evaluation
-  vs one full linear solve (where the reference says the time goes,
-  doc/user/methods.rst:176).
-- spmv_path: which SpMV implementation the flagship solve used
-  (pallas-dia / jnp-dia / ell).
+- stage breakdown measured ON DEVICE with scalar-only outputs
+  (residual_f64_seconds, jacobian_parts_seconds, linear_solve_*),
+  plus their per-Newton-iteration sum vs the step for
+  self-consistency (stage_sum_seconds vs step_seconds).
+- preconditioner comparison: bjacobi vs dilu (the reference default
+  ASM/ILU(0) analogue, timestepper.F90:2019-2022) wall time and
+  iteration counts on the same system.
+- spmv_nnz_per_s + spmv_roofline_fraction vs bandwidth MEASURED with
+  a Pallas stream kernel (opaque to XLA: cannot be constant-folded,
+  unlike the r3 triad that reported 200 EB/s).
+- dtype policy table (flagship at reduced size): f64/f64 vs the
+  default mixed policy.
+- ELL (unstructured gather) SpMV rate and a MINC-augmented config.
+- cpu_reference: scipy spilu+bicgstab on the same Jacobian (reduced
+  size) — the PETSc-proxy wall-time datapoint (BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 The headline keys are computed first; every extra section is
 best-effort (a failure there annotates the JSON instead of losing the
-headline). Baseline: BASELINE.json has no published numbers (the
-reference publishes none); vs_baseline is measured against the
-previous recorded value in bench_history.json when present, else 1.0.
+headline). vs_baseline compares against bench_history.json when it
+was recorded with the same (fixed) methodology.
 """
 
 import json
@@ -40,6 +46,8 @@ import os
 import time
 
 import numpy as np
+
+HIST_SCHEMA = 2  # timing-methodology version (r4 direct forcing)
 
 
 def _is_oom(e: Exception) -> bool:
@@ -56,35 +64,19 @@ def _is_oom(e: Exception) -> bool:
     )
 
 
-def _dep_scalar(x):
-    """A tiny eager program depending on x: forces ordering on any
-    backend when added (times 0) to the next launch's input."""
-    return x.reshape(-1)[0] * 0.0
-
-
 def _force(x) -> float:
     """Host transfer: completes every program x depends on."""
-    return float(np.asarray(x.reshape(-1)[0]))
+    return float(np.asarray(x).reshape(-1)[0])
 
 
-def time_chained(launch, reps, warmed_out):
-    """seconds/launch for a python-level launch loop.
-
-    launch(dep) -> output array; each launch's input is perturbed by
-    +0.0*dep (a scalar from the previous output), building a real
-    dependency chain; the region ends with a host pull. One extra
-    round-trip (~tens of ms over a tunnel) is amortised over reps.
-    """
+def timeit(f, reps=3):
+    """Best-of-reps seconds for launch+execute+host-scalar-pull."""
+    _force(f())  # compile + warm
     best = float("inf")
-    for _ in range(2):
-        dep = _dep_scalar(warmed_out)
+    for _ in range(reps):
         t0 = time.perf_counter()
-        out = warmed_out
-        for _ in range(reps):
-            out = launch(dep)
-            dep = _dep_scalar(out)
-        _force(out)
-        best = min(best, (time.perf_counter() - t0) / reps)
+        _force(f())
+        best = min(best, time.perf_counter() - t0)
     return best
 
 
@@ -94,7 +86,7 @@ def time_fori(make_chain, k1=5, k2=55):
     ts = {}
     for k in (k1, k2):
         f = make_chain(k)
-        _force(f())  # compile + warm
+        _force(f())
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -104,7 +96,7 @@ def time_fori(make_chain, k1=5, k2=55):
     return max((ts[k2] - ts[k1]) / (k2 - k1), 1e-12)
 
 
-def build_sim(nx, ny, nz):
+def build_sim(nx, ny, nz, minc=False):
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -150,46 +142,114 @@ def build_sim(nx, ny, nz):
         ],
         "time": {"step": {"size": 1.0e5}},
     }
+    if minc:
+        # dual-porosity lower half (production3d-style MINC config,
+        # /root/reference/test/benchmark/minc/production3d)
+        config["mesh"] = {
+            "zones": {
+                "lower": {"type": "box", "z": [-20.0 * nz, -10.0 * nz]}
+            },
+            "minc": {
+                "geometry": {
+                    "fracture": {"volume": 0.1, "spacing": 50.0},
+                    "matrix": {"volume": [0.3, 0.6]},
+                },
+                "rock": {"zones": ["lower"]},
+            },
+        }
     return Simulation(config, mesh=mesh), n
 
 
-def measure_bandwidth():
-    """Measured streaming-triad bandwidth (bytes/s): the memory
-    speed-of-light reference for the SpMV roofline."""
-    import jax
+def make_step(sim, pc="bjacobi", linear_dtype="float32",
+              jacobian_dtype="float32"):
+    from waiwera_tpu.solver.newton import NewtonParams
+
+    params = NewtonParams(
+        max_iterations=8,
+        min_iterations=1,
+        linear_dtype=linear_dtype,
+        linear_pc=pc,
+        jacobian_dtype=jacobian_dtype,
+    )
+    return sim.make_step_fn(params, "beuler")
+
+
+def time_step(sim, step, reps=3):
     import jax.numpy as jnp
 
-    n = 16 * 1024 * 1024  # 64 MB per f32 array
-    b = jnp.full(n, 1e-9, jnp.float32)
+    lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)
+    dt = jnp.asarray(1.0e5)
+
+    def run():
+        res, fluid, lhs_new, fluxes = step(
+            sim.y0, sim.region0, fluid0.temperature, lhs0, lhs0,
+            jnp.asarray(0.0), dt, dt, jnp.asarray(1.0),
+        )
+        return res.y
+    t = timeit(run, reps)
+    res, _, _, _ = step(
+        sim.y0, sim.region0, fluid0.temperature, lhs0, lhs0,
+        jnp.asarray(0.0), dt, dt, jnp.asarray(1.0),
+    )
+    return t, int(res.iterations), int(res.linear_iterations)
+
+
+def measure_bandwidth():
+    """HBM bandwidth from a Pallas stream kernel (read + write one
+    large array per iteration). The custom call is opaque to XLA, so
+    the chain cannot be folded (the r3 pure-jnp triad was: it
+    reported 2e11 GB/s)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n_sub = 8
+    n_lane = 2 * 1024 * 1024  # [8, 2M] f32 = 64 MB
+    interpret = jax.default_backend() != "tpu"
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile = 512 * 128
+
+    def kern(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 0.999999
+
+    def stream(x):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((n_sub, n_lane),
+                                               jnp.float32),
+                grid=(n_lane // tile,),
+                in_specs=[pl.BlockSpec((n_sub, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((n_sub, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(x)
 
     def make_chain(k):
         @jax.jit
-        def run(c):
-            a0 = jnp.ones(n, jnp.float32)
+        def run():
+            x0 = jnp.full((n_sub, n_lane), 1.0, jnp.float32)
 
-            def body(i, a):
-                # multiply-accumulate recurrence a' = a*c + b with a
-                # traced scalar c: unlike a' = a + const*b, repeated
-                # applications have no reassociation to a closed form,
-                # so XLA cannot fold the chain (which it did to a plain
-                # triad, reporting 2e11 GB/s). Reads a, b; writes a.
-                return a * c + b
+            def body(i, x):
+                return stream(x)
 
-            return jax.lax.fori_loop(0, k, body, a0)[:1]
+            return lax.fori_loop(0, k, body, x0)[:1, :1]
 
-        return lambda: run(jnp.float32(1.0 - 1e-7))
+        return run
 
-    per = time_fori(make_chain)
-    return 3.0 * 4.0 * n / per
+    per = time_fori(make_chain, 4, 24)
+    return 2.0 * 4.0 * n_sub * n_lane / per
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from waiwera_tpu.solver.newton import NewtonParams
-    from waiwera_tpu.solver import krylov
-    from waiwera_tpu.solver.system import MethodCoeffs
+    fast = os.environ.get("BENCH_FAST", "") not in ("", "0")
 
     # flagship size with a fallback ladder so the driver always gets a
     # number even on a memory-constrained device
@@ -201,44 +261,13 @@ def main():
             int(os.environ.get("BENCH_NZ", 16)),
         )]
 
-    # inner Krylov precision: f32 is TPU-native (f64 is software
-    # -emulated); Newton residual/convergence stay f64
-    linear_dtype = os.environ.get("BENCH_LINEAR_DTYPE", "float32")
-    linear_pc = os.environ.get("BENCH_PC", "bjacobi")
-    jacobian_dtype = os.environ.get("BENCH_JAC_DTYPE", "float32")
-    params = NewtonParams(
-        max_iterations=8,
-        min_iterations=1,
-        linear_dtype=linear_dtype,
-        linear_pc=linear_pc,
-        jacobian_dtype=jacobian_dtype,
-    )
-
+    linear_pc = os.environ.get("BENCH_PC", "dilu")
     sim = None
     for nx, ny, nz in sizes:
         try:
             sim, n = build_sim(nx, ny, nz)
-            npv = sim.eos.num_primary_variables
-            step = sim.make_step_fn(params, "beuler")
-            lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)
-            dt = jnp.asarray(1.0e5)
-
-            def launch_step(dep, _step=step, _sim=sim, _f0=fluid0,
-                            _lhs0=lhs0, _dt=dt):
-                res, fluid, lhs_new, fluxes = _step(
-                    _sim.y0 + dep, _sim.region0, _f0.temperature,
-                    _lhs0, _lhs0, jnp.asarray(0.0), _dt, _dt,
-                    jnp.asarray(1.0),
-                )
-                return res.y
-
-            out = launch_step(jnp.asarray(0.0))
-            _force(out)  # compile + run once, catches OOM
-            res, _, _, _ = step(
-                sim.y0, sim.region0, fluid0.temperature, lhs0, lhs0,
-                jnp.asarray(0.0), dt, dt, jnp.asarray(1.0),
-            )
-            iterations = int(res.iterations)
+            step = make_step(sim, pc=linear_pc)
+            step_seconds, iterations, linear_its = time_step(sim, step)
             break
         except Exception as e:
             if not _is_oom(e):
@@ -248,8 +277,7 @@ def main():
     if sim is None:
         raise SystemExit("no bench size fits the device")
 
-    reps = int(os.environ.get("BENCH_REPS", 5))
-    step_seconds = time_chained(launch_step, reps, out)
+    npv = sim.eos.num_primary_variables
     dof_per_s = n * npv / step_seconds
 
     hist_file = os.path.join(os.path.dirname(__file__),
@@ -257,7 +285,9 @@ def main():
     baseline = None
     if os.path.exists(hist_file):
         try:
-            baseline = json.load(open(hist_file)).get("dof_step_per_s")
+            h = json.load(open(hist_file))
+            if h.get("schema") == HIST_SCHEMA:
+                baseline = h.get("dof_step_per_s")
         except Exception:
             baseline = None
     vs = dof_per_s / baseline if baseline else 1.0
@@ -272,89 +302,96 @@ def main():
         "unknowns": n * npv,
         "eos": "wge",
         "newton_iterations": iterations,
+        "linear_iterations": linear_its,
+        "linear_pc": linear_pc,
         "step_seconds": step_seconds,
+        "timing_note": (
+            "direct per-rep device forcing (r4); r1-r3 step history "
+            "under-measured ~7x and is not comparable"
+        ),
     }
 
-    # NOTE on jit boundaries: a [nnzb, b, b] block array must never
-    # cross a jit boundary (input, output, or closure capture) — XLA
-    # copies boundary arrays into tiled layouts, and T(4,128) tiling on
-    # trailing (3, 3) dims pads 3->4 x 3->128 (a 57x expansion; 28 GB
-    # for the flagship Jacobian, the round-2.5 OOM). Block data always
-    # travels flat 1-D and is reshaped inside the traced program, where
-    # fusion avoids materialising the padded form.
-    from waiwera_tpu.solver import bsr as bsr_mod
+    from waiwera_tpu.solver import krylov
+    from waiwera_tpu.solver.system import MethodCoeffs
+    from waiwera_tpu.ops import dia as ops_dia
 
     system = sim.system
+    lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)
+    dt = jnp.asarray(1.0e5)
     coeffs = MethodCoeffs(c_lhs=jnp.asarray(1.0), dt_eff=dt,
                           const=-lhs0)
-    tangent = (
-        jnp.float32
-        if "32" in jacobian_dtype
-        else None
-    )
 
-    def _mat_of(flat, dtype):
-        return bsr_mod.BSRMatrix(
-            structure=system.structure,
-            data=flat.reshape(-1, npv, npv).astype(dtype),
-        )
-
+    # ---- in-step stage breakdown (scalar outputs only) ---------------
     try:
         @jax.jit
-        def assemble(y):
-            r, L, fx, err, mat = system.residual_and_jacobian(
+        def resid_only(y):
+            r, L, fx, err = system.residual(
+                y, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt
+            )
+            return r[:1, :1]
+
+        t_res = timeit(lambda: resid_only(sim.y0))
+        result["residual_f64_seconds"] = t_res
+
+        @jax.jit
+        def jac_only(y):
+            parts = system.jacobian_parts(
                 y, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt,
-                tangent_dtype=tangent,
+                tangent_dtype=jnp.float32,
             )
-            return r, mat.data.reshape(-1)
+            return parts[0][:1, :1, :1]
 
-        def launch_assemble(dep):
-            r, data = assemble(sim.y0 + dep)
-            return data
+        t_jac = timeit(lambda: jac_only(sim.y0))
+        result["jacobian_parts_seconds"] = t_jac
 
-        a_out = launch_assemble(jnp.asarray(0.0))
-        _force(a_out)
-        result["assembly_seconds"] = time_chained(
-            launch_assemble, reps, a_out
-        )
-    except Exception as e:
-        result["assembly_error"] = repr(e)
-
-    r0, data_flat = assemble(sim.y0)
-    ldtype = jnp.float32 if "32" in linear_dtype else jnp.float64
-    b_rhs = -r0.astype(ldtype)
-
-    try:
         @jax.jit
-        def linsolve(flat, b):
-            mat = _mat_of(flat, jnp.float64)
-            mv, pc = system.make_linear_operator(
-                mat, linear_pc, dtype=ldtype
+        def lin_only(y):
+            r, _, _, err = system.residual(
+                y, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt
             )
-            res = krylov.solve("bcgs", mv, b, precond=pc, rtol=1e-5)
-            return res.x, res.iterations
+            parts = system.jacobian_parts(
+                y, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt,
+                tangent_dtype=jnp.float32,
+            )
+            mv, pc = system.linear_operator_from_parts(
+                parts, linear_pc, dtype=jnp.float32
+            )
+            res = krylov.solve("bcgs", mv, r.astype(jnp.float32),
+                               precond=pc, rtol=1e-5)
+            return jnp.stack([res.x[0, 0],
+                              res.iterations.astype(jnp.float32)])
 
-        def launch_linsolve(dep):
-            x, its = linsolve(data_flat, b_rhs + dep)
-            return x
-
-        l_out = launch_linsolve(jnp.asarray(0.0, b_rhs.dtype))
-        _force(l_out)
-        result["linear_solve_seconds"] = time_chained(
-            launch_linsolve, reps, l_out
-        )
-        result["linear_iterations"] = int(
-            linsolve(data_flat, b_rhs)[1]
-        )
+        t_rjl = timeit(lambda: lin_only(sim.y0))
+        lin_its_one = int(np.asarray(lin_only(sim.y0))[1])
+        t_lin = max(t_rjl - t_res - t_jac, 0.0)
+        result["linear_solve_seconds"] = t_lin
+        result["linear_solve_iterations_one"] = lin_its_one
+        # transitions + post-linesearch residual recompute approx =
+        # residual + derived-state overhead; stage sum per the Newton
+        # loop: initial residual + its * (jac + solve + recompute)
+        its = max(iterations, 1)
+        stage_sum = t_res + its * (t_jac + t_lin + t_res)
+        result["stage_sum_seconds"] = stage_sum
+        result["stage_vs_step"] = stage_sum / step_seconds
     except Exception as e:
-        result["split_error"] = repr(e)
+        result["stage_error"] = repr(e)
 
-    # ---- SpMV roofline ------------------------------------------------
+    # ---- preconditioner comparison (bjacobi vs dilu) -----------------
+    if not fast:
+        try:
+            other = "bjacobi" if linear_pc != "bjacobi" else "dilu"
+            step2 = make_step(sim, pc=other)
+            t2, it2, li2 = time_step(sim, step2, reps=2)
+            result[f"step_seconds_{other}"] = t2
+            result[f"linear_iterations_{other}"] = li2
+        except Exception as e:
+            result["pc_compare_error"] = repr(e)
+
+    # ---- SpMV roofline ----------------------------------------------
     try:
-        from waiwera_tpu.ops import dia as ops_dia
-
         nnzb = int(system.structure.indices.shape[0])
         nnz = nnzb * npv * npv
+        nrows = system.structure.num_rows
         if system.dia is None:
             result["spmv_path"] = "ell"
         elif ops_dia._use_pallas(jnp.float32):
@@ -362,30 +399,29 @@ def main():
         else:
             result["spmv_path"] = "jnp-dia"
 
-        # scale so chained applications neither overflow nor denormal
-        # -underflow: measured matvec work is unchanged
-        nrows = system.structure.num_rows
-
         def make_chain(k):
             @jax.jit
-            def run(flat):
-                mv32 = system.make_matvec(
-                    _mat_of(flat, jnp.float32), jnp.float32
+            def run(y):
+                parts = system.jacobian_parts(
+                    y, sim.region0, sim.rock, coeffs,
+                    jnp.asarray(0.0), dt, tangent_dtype=jnp.float32,
+                )
+                mv, _ = system.linear_operator_from_parts(
+                    parts, "none", dtype=jnp.float32
                 )
                 x0 = jnp.full((nrows, npv), 1.0, jnp.float32)
 
                 def body(i, x):
-                    y = mv32(x)
-                    m = jnp.max(jnp.abs(y)) + jnp.float32(1e-30)
-                    return y * (jnp.float32(1.0) / m)
+                    y2 = mv(x)
+                    m = jnp.max(jnp.abs(y2)) + jnp.float32(1e-30)
+                    return y2 * (jnp.float32(1.0) / m)
 
-                return jax.lax.fori_loop(0, k, body, x0)
+                return jax.lax.fori_loop(0, k, body, x0)[:1, :1]
 
-            return lambda: run(data_flat)
+            return lambda: run(sim.y0)
 
         per = time_fori(make_chain)
-        # subtract the normalisation cost (max + rescale: ~2 extra
-        # passes over x) measured on its own
+
         def make_norm_chain(k):
             @jax.jit
             def run():
@@ -395,7 +431,7 @@ def main():
                     m = jnp.max(jnp.abs(x)) + jnp.float32(1e-30)
                     return x * (jnp.float32(1.0) / m)
 
-                return jax.lax.fori_loop(0, k, body, x0)
+                return jax.lax.fori_loop(0, k, body, x0)[:1, :1]
 
             return run
 
@@ -412,10 +448,145 @@ def main():
     except Exception as e:
         result["spmv_error"] = repr(e)
 
+    # ---- reduced-size extras: dtype policy, ELL, MINC, CPU ref -------
+    rx, ry, rz = (48, 32, 32) if n >= 48 * 32 * 32 else (nx, ny, nz)
+    if not fast:
+        try:
+            sim_r, n_r = build_sim(rx, ry, rz)
+            t_mixed, it_m, li_m = time_step(
+                sim_r, make_step(sim_r, pc=linear_pc), reps=2
+            )
+            t_f64, it_6, li_6 = time_step(
+                sim_r,
+                make_step(sim_r, pc=linear_pc, linear_dtype="float64",
+                          jacobian_dtype="float64"),
+                reps=2,
+            )
+            result["dtype_table"] = {
+                "cells": n_r,
+                "mixed_f32_step_seconds": t_mixed,
+                "full_f64_step_seconds": t_f64,
+                "f64_over_mixed": t_f64 / t_mixed,
+            }
+        except Exception as e:
+            result["dtype_error"] = repr(e)
+
+        # ELL path: permute cells so the DIA detection fails
+        try:
+            from waiwera_tpu.solver import bsr as bsr_mod
+            from waiwera_tpu.ops import ell as ops_ell
+
+            rng = np.random.default_rng(0)
+            n_e = rx * ry * rz
+            perm = rng.permutation(n_e)
+            fc_all = np.asarray(sim_r.mesh.face_cells)
+            inner = (fc_all < n_e).all(axis=1)
+            fc = perm[fc_all[inner]]
+            st = bsr_mod.build_structure(n_e, fc, npv)
+            es = ops_ell.ell_structure(st)
+            nnzb_e = int(st.indices.shape[0])
+            data = jnp.asarray(
+                rng.standard_normal((nnzb_e, npv, npv)),
+                jnp.float32,
+            )
+            mat = bsr_mod.BSRMatrix(structure=st, data=data)
+
+            def make_echain(k):
+                @jax.jit
+                def run(d):
+                    m = ops_ell.to_ell(
+                        bsr_mod.BSRMatrix(structure=st, data=d), es,
+                        jnp.float32,
+                    )
+                    x0 = jnp.full((n_e, npv), 1.0, jnp.float32)
+
+                    def body(i, x):
+                        y2 = m.matvec(x)
+                        mx = jnp.max(jnp.abs(y2)) + jnp.float32(1e-30)
+                        return y2 * (jnp.float32(1.0) / mx)
+
+                    return jax.lax.fori_loop(0, k, body, x0)[:1, :1]
+
+                return lambda: run(data)
+
+            per_e = time_fori(make_echain, 3, 13)
+            result["ell_spmv_nnz_per_s"] = nnzb_e * npv * npv / per_e
+        except Exception as e:
+            result["ell_error"] = repr(e)
+
+        # MINC-augmented step (dual-porosity production config)
+        try:
+            sim_m, _ = build_sim(rx, ry, rz, minc=True)
+            t_minc, it_mm, li_mm = time_step(
+                sim_m, make_step(sim_m, pc=linear_pc), reps=2
+            )
+            result["minc_cells"] = int(sim_m.mesh.num_cells)
+            result["minc_step_seconds"] = t_minc
+            result["minc_dof_per_s"] = (
+                sim_m.mesh.num_cells * npv / t_minc
+            )
+            result["minc_spmv_path"] = (
+                "dia" if sim_m.system.dia is not None else "ell"
+            )
+        except Exception as e:
+            result["minc_error"] = repr(e)
+
+        # CPU reference: scipy spilu + bicgstab on the same Jacobian
+        try:
+            import scipy.sparse as sp
+            import scipy.sparse.linalg as spla
+
+            lhs_r, _, _ = sim_r.lhs_at(sim_r.y0, sim_r.region0)
+            coeffs_r = MethodCoeffs(
+                c_lhs=jnp.asarray(1.0), dt_eff=dt, const=-lhs_r
+            )
+            r_r, _, _, _, mat_r = sim_r.system.residual_and_jacobian(
+                sim_r.y0, sim_r.region0, sim_r.rock, coeffs_r,
+                jnp.asarray(0.0), dt,
+            )
+            st = mat_r.structure
+            A = sp.bsr_matrix(
+                (
+                    np.asarray(mat_r.data),
+                    np.asarray(st.indices),
+                    np.asarray(st.indptr),
+                ),
+                shape=(st.num_rows * npv, st.num_rows * npv),
+            ).tocsc()
+            b = -np.asarray(r_r).reshape(-1)
+            t0 = time.perf_counter()
+            ilu = spla.spilu(A, drop_tol=1e-4, fill_factor=2)
+            M = spla.LinearOperator(A.shape, ilu.solve)
+            cnt = {"n": 0}
+
+            def cb(xk):
+                cnt["n"] += 1
+
+            x, info = spla.bicgstab(
+                A, b, M=M, rtol=1e-5, maxiter=1000, callback=cb
+            )
+            t_cpu = time.perf_counter() - t0
+            result["cpu_reference"] = {
+                "cells": n_r,
+                "what": "scipy spilu(1e-4,2)+bicgstab linear solve",
+                "seconds": t_cpu,
+                "iterations": cnt["n"],
+                "info": int(info),
+            }
+            if "linear_solve_seconds" in result:
+                # scale our flagship linear-solve to the reduced size
+                scale = n_r / n
+                result["cpu_reference"]["tpu_linear_seconds_scaled"] = (
+                    result["linear_solve_seconds"] * scale
+                )
+        except Exception as e:
+            result["cpu_reference_error"] = repr(e)
+
     try:
-        json.dump({"dof_step_per_s": dof_per_s,
+        json.dump({"schema": HIST_SCHEMA, "dof_step_per_s": dof_per_s,
                    "cells": n, "newton_iterations": iterations,
-                   "step_seconds": step_seconds},
+                   "step_seconds": step_seconds,
+                   "linear_pc": linear_pc},
                   open(hist_file, "w"))
     except Exception:
         pass

@@ -308,6 +308,72 @@ def test_dia_detection_and_matvec_rect_mesh():
     np.testing.assert_allclose(y_ell, y_bsr, rtol=1e-12, atol=1e-9)
 
 
+def test_band_plan_pack_matches_gather():
+    """The gather-free reshape/pad band pack (bands_from_blocks) must
+    produce exactly the bands the BSR-assemble-then-gather path
+    (to_dia) does, and linear_operator_from_parts must solve to the
+    same answer as make_linear_operator."""
+    from waiwera_tpu.ops import dia
+    from waiwera_tpu.solver import krylov as _krylov
+    from waiwera_tpu.solver.system import MethodCoeffs
+
+    sim = _rect_system(6, 5, 4)
+    system = sim.system
+    assert system.band_plan is not None  # rectilinear: plan must hold
+
+    lhs0, _, _ = sim.lhs_at(sim.y0, sim.region0)
+    coeffs = MethodCoeffs(
+        c_lhs=jnp.asarray(1.0), dt_eff=jnp.asarray(1e4), const=-lhs0
+    )
+    r, _, _, _, parts = system.residual_and_jacobian_parts(
+        sim.y0, sim.region0, sim.rock, coeffs,
+        jnp.asarray(0.0), jnp.asarray(1e4),
+    )
+    mat = system.assemble_bsr(parts)
+    m_gather = dia.to_dia(mat, system.dia)
+    m_plan = dia.bands_from_blocks(
+        system.dia, system.band_plan, *parts
+    )
+    assert m_plan.offsets == m_gather.offsets
+    np.testing.assert_allclose(
+        np.asarray(m_plan.bands), np.asarray(m_gather.bands),
+        rtol=0, atol=0,
+    )
+
+    n = system.mesh.num_cells
+    v = jnp.asarray(
+        np.random.default_rng(7).standard_normal((n, system.npv))
+    )
+    for pc_name in ("bjacobi", "dilu", "none"):
+        mv_a, pc_a = system.make_linear_operator(mat, pc_name)
+        mv_b, pc_b = system.linear_operator_from_parts(parts, pc_name)
+        np.testing.assert_allclose(
+            np.asarray(mv_b(v)), np.asarray(mv_a(v)),
+            rtol=1e-12, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pc_b(v)), np.asarray(pc_a(v)),
+            rtol=1e-10, atol=1e-10,
+        )
+
+
+def test_band_plan_none_on_permuted_mesh():
+    """A cell permutation that breaks the periodic-slice structure must
+    make band_plan return None (fallback to the gather pack) without
+    changing results."""
+    from waiwera_tpu.ops import dia
+
+    sim = _rect_system(5, 4, 3)
+    system = sim.system
+    fc = np.asarray(system.mesh.face_cells).copy()
+    # swap the endpoints of one face: orientation mix within a band
+    fc[3] = fc[3][::-1]
+    plan = dia.band_plan(
+        system.dia, fc, np.asarray(system.mesh.is_ghost)
+    )
+    assert plan is None
+
+
 def test_dia_pallas_kernel_interpret():
     """Pallas band kernel (interpret mode on CPU) matches the jnp
     path in f32."""

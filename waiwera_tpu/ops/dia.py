@@ -113,6 +113,117 @@ def dia_structure(
     )
 
 
+class BandPlan(NamedTuple):
+    """Host-built recipe for packing per-face Jacobian blocks straight
+    into DIA bands with reshapes/pads only — no gather/scatter.
+
+    TPU gathers run at a tiny fraction of HBM bandwidth, so the
+    BSR-assemble-then-gather pack (bsr.assemble + to_dia) costs ~1.5 s
+    per Newton iteration on a 512k-cell Jacobian (measured r4) while
+    this path is pure data movement (~ms). Valid when, for every
+    nonzero band offset d, the contributing faces form one contiguous
+    slice of the face array whose rows advance in a periodic
+    pattern r0 + (i//q)*p + i%q — true for rectilinear meshes in
+    natural order (the dominant production geometry and every
+    reference benchmark, mesh.F90 natural ordering).
+
+    entries: one per band, aligned with DIAStructure.offsets:
+      ("diag",)                      — the diagonal band
+      ("seg", side, f0, S, q, p, r0) — S segments of q faces starting
+        at face f0, rows r0 + m*p + j; side 0 = J[l,r] blocks (rows l),
+        side 1 = J[r,l] blocks (rows r)
+    """
+
+    entries: tuple
+
+
+def band_plan(
+    dia: DIAStructure, face_cells: np.ndarray, is_ghost: np.ndarray
+):
+    """Detect the periodic-slice structure for each band, or None."""
+    a = np.asarray(face_cells[:, 0], np.int64)
+    b = np.asarray(face_cells[:, 1], np.int64)
+    is_ghost = np.asarray(is_ghost)
+    live = ~(is_ghost[a] | is_ghost[b])
+    entries = []
+    for d in dia.offsets:
+        if d == 0:
+            entries.append(("diag",))
+            continue
+        sel_lr = np.nonzero(live & (b - a == d))[0]
+        sel_rl = np.nonzero(live & (a - b == d))[0]
+        if len(sel_lr) and len(sel_rl):
+            return None  # mixed orientations within a band
+        if len(sel_lr):
+            sel, side, rows = sel_lr, 0, a[sel_lr]
+        elif len(sel_rl):
+            sel, side, rows = sel_rl, 1, b[sel_rl]
+        else:
+            return None
+        f0 = int(sel[0])
+        if not np.array_equal(sel, np.arange(f0, f0 + len(sel))):
+            return None  # faces not contiguous
+        r0 = int(rows[0])
+        diffs = np.diff(rows)
+        if np.all(diffs == 1):
+            q = len(rows)
+            p = q
+        else:
+            q = int(np.argmax(diffs != 1)) + 1
+            if len(rows) % q != 0:
+                return None
+            p = int(rows[q] - r0)
+            if p <= q:
+                return None
+        S = len(rows) // q
+        i = np.arange(len(rows))
+        if not np.array_equal(rows, r0 + (i // q) * p + i % q):
+            return None
+        if r0 + (S - 1) * p + q > dia.band_pos.shape[1]:
+            return None
+        entries.append(("seg", side, f0, S, q, p, r0))
+    return BandPlan(entries=tuple(entries))
+
+
+def bands_from_blocks(
+    dia: DIAStructure,
+    plan: BandPlan,
+    diag: Array,
+    block_lr: Array,
+    block_rl: Array,
+    dtype=None,
+) -> DIAMatrix:
+    """Pack (diag [N,b,b], per-face off-diag blocks [F,b,b]) into the
+    band layout [D, b*b, N_pad] by static slices/reshapes/pads."""
+    b = dia.block_size
+    bb = b * b
+    n = dia.num_rows
+    n_pad = dia.band_pos.shape[1]
+    if dtype is not None:
+        diag = diag.astype(dtype)
+        block_lr = block_lr.astype(dtype)
+        block_rl = block_rl.astype(dtype)
+    out = []
+    for entry in plan.entries:
+        if entry[0] == "diag":
+            v = diag.reshape(n, bb)
+            v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
+        else:
+            _, side, f0, S, q, p, r0 = entry
+            src = block_lr if side == 0 else block_rl
+            v = src[f0 : f0 + S * q].reshape(S, q, bb)
+            v = jnp.pad(v, ((0, 0), (0, p - q), (0, 0)))
+            v = v.reshape(S * p, bb)
+            v = jnp.pad(v, ((r0, n_pad - r0 - S * p), (0, 0)))
+        out.append(v.T)  # [bb, N_pad]
+    return DIAMatrix(
+        offsets=dia.offsets,
+        bands=jnp.stack(out, axis=0),
+        block_size=b,
+        num_rows=n,
+    )
+
+
 def to_dia(mat, dia: DIAStructure, dtype=None) -> DIAMatrix:
     """Pack assembled BSR data into band layout [D, b*b, N_pad].
 

@@ -102,6 +102,11 @@ class LocalSystem(System):
         self.p2p_perms = p2p_perms
         self.p2p_send = p2p_send
         self.p2p_recv = p2p_recv
+        # gather-free band packing: local DIA bands cover owned-owned
+        # couplings of the RCM-ordered local block; the periodic-slice
+        # plan rarely holds there, so the distributed path assembles
+        # BSR (linear_operator_from_parts falls back)
+        self.band_plan = None
 
     # -- parallel hooks ----------------------------------------------
 
@@ -232,25 +237,44 @@ class LocalSystem(System):
         r = jnp.where(self.owned[:, None], r, 0.0)
         return r, L, fluxes, err
 
-    def residual_and_jacobian(
+    def _fix_parts(self, parts):
+        """Halo/pad rows -> identity so the local preconditioner stays
+        well-defined; their matvec output is masked anyway."""
+        diag, block_lr, block_rl = parts
+        eye = jnp.eye(self.npv, dtype=diag.dtype)
+        diag = jnp.where(self.owned[:, None, None], diag, eye)
+        cl = self.mesh.face_cells[:, 0]
+        cr = self.mesh.face_cells[:, 1]
+        zero = jnp.zeros((), block_lr.dtype)
+        block_lr = jnp.where(self.owned[cl][:, None, None], block_lr, zero)
+        block_rl = jnp.where(self.owned[cr][:, None, None], block_rl, zero)
+        return diag, block_lr, block_rl
+
+    def residual_and_jacobian_parts(
         self, y, region, rock, coeffs, t0, t1, tangent_dtype=None
     ):
-        r, L, fluxes, err, mat = super().residual_and_jacobian(
+        r, L, fluxes, err, parts = super().residual_and_jacobian_parts(
             y, region, rock, coeffs, t0, t1, tangent_dtype=tangent_dtype
         )
         r = jnp.where(self.owned[:, None], r, 0.0)
-        # halo/pad rows -> identity so the local preconditioner stays
-        # well-defined; their matvec output is masked anyway
-        s = self.structure
-        rows_owned = self.owned[s.rows]
-        is_diag = s.rows == s.indices
-        eye = jnp.eye(self.npv, dtype=mat.data.dtype)
-        data = jnp.where(
-            rows_owned[:, None, None],
-            mat.data,
-            jnp.where(is_diag[:, None, None], eye, jnp.zeros((), mat.data.dtype)),
+        return r, L, fluxes, err, self._fix_parts(parts)
+
+    def jacobian_parts(
+        self, y, region, rock, coeffs, t0, t1, tangent_dtype=None
+    ):
+        return self._fix_parts(
+            super().jacobian_parts(
+                y, region, rock, coeffs, t0, t1,
+                tangent_dtype=tangent_dtype,
+            )
         )
-        return r, L, fluxes, err, bsr.BSRMatrix(structure=s, data=data)
+
+    def linear_operator_from_parts(
+        self, parts, pc_name, dtype=None, sweeps=3
+    ):
+        return self.make_linear_operator(
+            self.assemble_bsr(parts), pc_name, dtype=dtype, sweeps=sweeps
+        )
 
 
 class _LocalSources:

@@ -672,11 +672,21 @@ class Simulation:
         return self.system.lhs(fluid, self.rock), fluid, err
 
     def fluxes_at(self, y, region):
-        """[F, nflux] face fluxes at a state (for initial flux output;
+        """[F, nflux] face fluxes at a state in the host mesh's natural
+        face order (for initial flux output;
         flow_simulation.F90 initial_function_calls computes the RHS at
         t0 when initial output is requested)."""
         fluid, cond, _ = self.system.derived_state(y, region, self.rock)
-        return self.system.fluxes(fluid, cond, self.rock)
+        return self.flux_to_global(
+            self.system.fluxes(fluid, cond, self.rock)
+        )
+
+    def flux_to_global(self, fluxes):
+        """Canonical (band-sorted) face order -> natural host face
+        order/orientation for /face_fields output."""
+        from waiwera_tpu.mesh.device import fluxes_to_host_order
+
+        return fluxes_to_host_order(self.mesh_dev, fluxes)
 
     def dof_statistics(self) -> dict:
         """DOF totals + per-device imbalance (Kumar et al. 1994),

@@ -116,7 +116,7 @@ def assemble(
     per-face off-diagonal blocks [F, b, b] at precomputed positions."""
     nnzb = structure.indices.shape[0]
     b = structure.block_size
-    data = jnp.zeros((nnzb, b, b))
+    data = jnp.zeros((nnzb, b, b), diag.dtype)
     data = data.at[structure.diag_pos].add(diag)
     if face_lr is not None and face_lr.shape[0]:
         data = data.at[pos_lr].add(face_lr)

@@ -211,20 +211,30 @@ def newton_solve(
         linear_dtype = jacobian_dtype
 
     def body(s: _State):
-        # Jacobian at current iterate
+        # Jacobian at current iterate (block parts: the banded path
+        # packs DIA bands by reshape/pad, skipping the BSR
+        # scatter+gather round-trip that cost ~1.5 s/iteration on the
+        # 512k-cell flagship). The residual at this iterate is s.r,
+        # carried from the post-linesearch recompute below (or the
+        # pre-loop evaluation), so the Jacobian call does NOT
+        # re-evaluate the f64 residual chain; EOS domain errors at
+        # this iterate were likewise already checked when s.r was
+        # computed (perr below / err0 above).
         with jax.named_scope("jacobian"):
-            r, L, _, err, mat = system.residual_and_jacobian(
+            parts = system.jacobian_parts(
                 s.y, s.region, rock, coeffs, t0, t1,
                 tangent_dtype=jacobian_dtype,
             )
         with jax.named_scope("linear_solve"):
-            mv, pc = system.make_linear_operator(
-                mat,
+            mv, pc = system.linear_operator_from_parts(
+                parts,
                 params.linear_pc,
                 dtype=linear_dtype,
                 sweeps=params.pc_sweeps,
             )
-            b_lin = r if linear_dtype is None else r.astype(linear_dtype)
+            b_lin = (
+                s.r if linear_dtype is None else s.r.astype(linear_dtype)
+            )
             lin = krylov.solve(
                 params.linear_method,
                 mv,
@@ -284,7 +294,6 @@ def newton_solve(
 
         failed = (
             s.failed
-            | any_err(err)
             | any_err(terr)
             | any_err(bounds_err)
             | any_err(perr)

@@ -96,6 +96,16 @@ class System:
         self.dia = dia.dia_structure(
             self.structure, np.asarray(mesh.is_ghost)
         )
+        # gather-free band packing recipe (TPU gathers are ~100x slower
+        # than streaming HBM reads; measured r4: the BSR->band gather
+        # cost 1.5 s/Newton iteration on the 512k-cell flagship)
+        self.band_plan = (
+            dia.band_plan(
+                self.dia, face_cells, np.asarray(mesh.is_ghost)
+            )
+            if self.dia is not None
+            else None
+        )
 
     # -- parallel hooks (overridden by parallel.spmd.LocalSystem) -----
     # On a single device these are identities; under shard_map they
@@ -287,12 +297,71 @@ class System:
         tracing the same code under jax.enable_x64(False), which
         downcasts every array and constant in the chain.
         """
-        if tangent_dtype is not None:
-            import warnings
+        r, L, fluxes, err, parts = self.residual_and_jacobian_parts(
+            y, region, rock, coeffs, t0, t1, tangent_dtype=tangent_dtype
+        )
+        return r, L, fluxes, err, self.assemble_bsr(parts)
 
+    def assemble_bsr(self, parts) -> bsr.BSRMatrix:
+        """Scatter block parts (diag, J[l,r], J[r,l]) into BSR data.
+
+        Only needed off the banded fast path (ELL matvec, LU, FD
+        validation): on TPU this scatter plus the band gather it feeds
+        cost ~1.5 s per 512k-cell Jacobian, so the Newton hot path
+        keeps the parts form and packs bands directly
+        (linear_operator_from_parts)."""
+        diag, block_lr, block_rl = parts
+        return bsr.assemble(
+            self.structure, diag, block_lr, block_rl, self.pos_lr,
+            self.pos_rl,
+        )
+
+    def residual_and_jacobian_parts(
+        self,
+        y: Array,
+        region: Array,
+        rock: RockState,
+        coeffs: MethodCoeffs,
+        t0: Array,
+        t1: Array,
+        tangent_dtype=None,
+    ):
+        """residual_and_jacobian without the BSR scatter: returns
+        (r, L, fluxes, err, (diag [N,b,b], J_lr [F,b,b], J_rl
+        [F,b,b]))."""
+        if tangent_dtype is not None:
             r, L, fluxes, err = self.residual(
                 y, region, rock, coeffs, t0, t1
             )
+            parts = self.jacobian_parts(
+                y, region, rock, coeffs, t0, t1,
+                tangent_dtype=tangent_dtype,
+            )
+            return r, L, fluxes, err, parts
+        return self._rj_core(y, region, rock, coeffs, t0, t1)
+
+    def jacobian_parts(
+        self,
+        y: Array,
+        region: Array,
+        rock: RockState,
+        coeffs: MethodCoeffs,
+        t0: Array,
+        t1: Array,
+        tangent_dtype=None,
+    ):
+        """Jacobian block parts ONLY — no separate residual evaluation.
+
+        The Newton loop carries the residual from its post-linesearch
+        recompute, so re-evaluating it at the same iterate inside the
+        Jacobian call would duplicate the costliest f64 EOS chain
+        (~0.9 s/iteration on the 512k-cell flagship). This is the
+        TPU-shaped counterpart of the reference's cached-balance reuse
+        for its FD Jacobian (flow_simulation.F90:851-878,1429-1444).
+        """
+        if tangent_dtype is not None:
+            import warnings
+
             with warnings.catch_warnings():
                 warnings.filterwarnings(
                     "ignore", message=".*truncated to dtype float32.*"
@@ -305,7 +374,7 @@ class System:
                         lambda yy, rr, cc: self._rj_core(
                             yy, region, rr, cc, t0, t1,
                             mesh=self._mesh_cast(tangent_dtype),
-                        )[4].data
+                        )[4]
                     )
                     def cast(a):
                         if hasattr(a, "dtype") and jnp.issubdtype(
@@ -314,14 +383,52 @@ class System:
                             return a.astype(tangent_dtype)
                         return a
 
-                    data = core32(
+                    return core32(
                         y.astype(tangent_dtype),
                         jax.tree_util.tree_map(cast, rock),
                         jax.tree_util.tree_map(cast, coeffs),
                     )
-            mat = bsr.BSRMatrix(structure=self.structure, data=data)
-            return r, L, fluxes, err, mat
-        return self._rj_core(y, region, rock, coeffs, t0, t1)
+        # f64 path: the residual shares most of its chain with the
+        # primal linearization point, so XLA CSEs the overlap; unused
+        # outputs are dead-code eliminated
+        return self._rj_core(y, region, rock, coeffs, t0, t1)[4]
+
+    def linear_operator_from_parts(
+        self, parts, pc_name, dtype=None, sweeps=3
+    ):
+        """(matvec, preconditioner) straight from block parts.
+
+        Banded meshes with a band plan: bands packed by
+        reshape/pad (gather-free), diagonal factorisations from the
+        diag part directly. Otherwise: assemble BSR and use
+        make_linear_operator."""
+        from waiwera_tpu.solver import precond as _precond
+        from waiwera_tpu.solver.smallblocks import invert_blocks
+
+        if self.dia is None or self.band_plan is None or pc_name == "lu":
+            return self.make_linear_operator(
+                self.assemble_bsr(parts), pc_name, dtype=dtype,
+                sweeps=sweeps,
+            )
+        diag, block_lr, block_rl = parts
+        m = dia.bands_from_blocks(
+            self.dia, self.band_plan, diag, block_lr, block_rl, dtype
+        )
+        if dia._use_pallas(m.bands.dtype):
+            mv = dia._interleave_bands(m).matvec
+        else:
+            mv = m.matvec
+        if pc_name in ("none",):
+            pc = lambda r: r
+        elif pc_name in ("bjacobi", "jacobi"):
+            dinv = invert_blocks(
+                diag if dtype is None else diag.astype(dtype)
+            )
+            pc = dia.dia_block_jacobi(dinv, dtype)
+        else:  # asm / ilu / dilu / sgs -> shift-based DILU
+            pc = dia.dia_dilu(m, invert_blocks, sweeps=sweeps,
+                              dtype=dtype)
+        return mv, pc
 
     def _mesh_cast(self, dtype):
         """Mesh arrays with floating fields cast to dtype: keeps the
@@ -367,14 +474,19 @@ class System:
                 cond = jnp.zeros(n)
             return fluid, cond
 
-        # primal + npv cell-local tangents of the derived state
-        fluid, cond0 = derived_flat(y)
+        # primal + npv cell-local tangents of the derived state.
+        # jax.linearize evaluates the (expensive EOS) primal chain ONCE
+        # and replays only the linear tangent ops per seed — npv
+        # separate jax.jvp calls would re-evaluate the primal npv times
+        # (measured r4: ~2.5 s assembly on the 512k-cell flagship,
+        # dominated by redundant primal EOS chains).
+        (fluid, cond0), derived_lin = jax.linearize(derived_flat, y)
         _, _, err = self.derived_state(y, region, rock)
         d_fluid = []
         d_cond = []
         for v in range(npv):
             seed = jnp.zeros_like(y).at[:, v].set(1.0)
-            _, (df, dc) = jax.jvp(derived_flat, (y,), (seed,))
+            df, dc = derived_lin(seed)
             d_fluid.append(df)
             d_cond.append(dc)
         cond = None if self.isothermal else cond0
@@ -385,11 +497,11 @@ class System:
             q = self.source_term(f, t0, t1)
             return L, q
 
-        (L, q) = cell_fn(fluid)
+        (L, q), cell_lin = jax.linearize(cell_fn, fluid)
         dL = []
         dq = []
         for v in range(npv):
-            _, (dLv, dqv) = jax.jvp(cell_fn, (fluid,), (d_fluid[v],))
+            dLv, dqv = cell_lin(d_fluid[v])
             dL.append(dLv)
             dq.append(dqv)
 
@@ -414,11 +526,11 @@ class System:
                 self.isothermal,
             )
 
-        fluxes = flux_fn(fl, fr, cdl, cdr)
+        fluxes, flux_lin = jax.linearize(flux_fn, fl, fr, cdl, cdr)
 
         def _zero_tangent(a):
             # integer leaves (region, phase_composition) take float0
-            # tangents under jvp
+            # tangents under jvp/linearize
             if jnp.issubdtype(a.dtype, jnp.floating):
                 return jnp.zeros_like(a)
             return np.zeros(a.shape, jax.dtypes.float0)
@@ -429,14 +541,10 @@ class System:
         dflux_r = []
         for v in range(npv):
             dfl = assembly.gather_state(d_fluid[v], cl)
-            _, t = jax.jvp(
-                flux_fn, (fl, fr, cdl, cdr), (dfl, zf, d_cond[v][cl], zc)
-            )
+            t = flux_lin(dfl, zf, d_cond[v][cl], zc)
             dflux_l.append(t[:, :npv])
             dfr = assembly.gather_state(d_fluid[v], cr)
-            _, t = jax.jvp(
-                flux_fn, (fl, fr, cdl, cdr), (zf, dfr, zc, d_cond[v][cr])
-            )
+            t = flux_lin(zf, dfr, zc, d_cond[v][cr])
             dflux_r.append(t[:, :npv])
 
         # residual
@@ -497,8 +605,4 @@ class System:
             either_ghost, 0.0, -coeffs.dt_eff * av_r * dflux_l
         )
 
-        mat = bsr.assemble(
-            self.structure, diag, block_lr, block_rl, self.pos_lr,
-            self.pos_rl,
-        )
-        return r, L, fluxes, err, mat
+        return r, L, fluxes, err, (diag, block_lr, block_rl)
