@@ -339,7 +339,7 @@ def main():
                 y, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt,
                 tangent_dtype=jnp.float32,
             )
-            return parts[0][:1, :1, :1]
+            return parts[0][:1, :1]
 
         t_jac = timeit(lambda: jac_only(sim.y0))
         result["jacobian_parts_seconds"] = t_jac

@@ -138,3 +138,36 @@ def test_source_network_output_fields(tmp_path):
         sf["network_group_rate"][-1][0], q[0], rtol=1e-10
     )
     f.close()
+
+
+def test_jacobian_dump(tmp_path):
+    """output.jacobian writes a loadable BSR dump of the Jacobian at
+    output times (flow_simulation.F90:309-390,2989 MatView
+    analogue)."""
+    import os
+
+    nz = 8
+    mesh = column_mesh([10.0] * nz)
+    jac_file = str(tmp_path / "jac.npz")
+    config = {
+        "eos": {"name": "we"},
+        "initial": {"primary": [5.0e6, 180.0], "region": 1},
+        "output": {"jacobian": {"filename": jac_file}},
+        "time": {"stop": 2.0e4, "step": {"size": 1.0e4}},
+    }
+    f = _run(tmp_path, config, mesh)
+    f.close()
+    assert os.path.exists(jac_file)
+    d = np.load(jac_file)
+    n = int(d["num_rows"])
+    b = int(d["block_size"])
+    assert b == 2 and n == nz
+    assert d["data"].shape == (len(d["indices"]), b, b)
+    assert d["indptr"].shape == (n + 1,)
+    # diagonal blocks must be nonsingular
+    import scipy.sparse as sp
+
+    A = sp.bsr_matrix(
+        (d["data"], d["indices"], d["indptr"]), shape=(n * b, n * b)
+    )
+    assert np.all(np.abs(A.diagonal()) > 0.0)

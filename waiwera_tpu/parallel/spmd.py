@@ -102,11 +102,13 @@ class LocalSystem(System):
         self.p2p_perms = p2p_perms
         self.p2p_send = p2p_send
         self.p2p_recv = p2p_recv
-        # gather-free band packing: local DIA bands cover owned-owned
-        # couplings of the RCM-ordered local block; the periodic-slice
-        # plan rarely holds there, so the distributed path assembles
-        # BSR (linear_operator_from_parts falls back)
+        # gather-free band packing / face plans: local DIA bands cover
+        # owned-owned couplings of the RCM-ordered local block; the
+        # periodic-slice plan rarely holds there, so the distributed
+        # path assembles BSR (linear_operator_from_parts falls back)
+        # and uses indexed face gathers
         self.band_plan = None
+        self.face_plan = None
 
     # -- parallel hooks ----------------------------------------------
 
@@ -239,16 +241,17 @@ class LocalSystem(System):
 
     def _fix_parts(self, parts):
         """Halo/pad rows -> identity so the local preconditioner stays
-        well-defined; their matvec output is masked anyway."""
-        diag, block_lr, block_rl = parts
-        eye = jnp.eye(self.npv, dtype=diag.dtype)
-        diag = jnp.where(self.owned[:, None, None], diag, eye)
+        well-defined; their matvec output is masked anyway. Parts are
+        element-major ([b*b, N] diag, [b*b, F] off-diagonals)."""
+        diag2, lr2, rl2 = parts
+        eye2 = jnp.eye(self.npv, dtype=diag2.dtype).reshape(-1)[:, None]
+        diag2 = jnp.where(self.owned[None, :], diag2, eye2)
         cl = self.mesh.face_cells[:, 0]
         cr = self.mesh.face_cells[:, 1]
-        zero = jnp.zeros((), block_lr.dtype)
-        block_lr = jnp.where(self.owned[cl][:, None, None], block_lr, zero)
-        block_rl = jnp.where(self.owned[cr][:, None, None], block_rl, zero)
-        return diag, block_lr, block_rl
+        zero = jnp.zeros((), lr2.dtype)
+        lr2 = jnp.where(self.owned[cl][None, :], lr2, zero)
+        rl2 = jnp.where(self.owned[cr][None, :], rl2, zero)
+        return diag2, lr2, rl2
 
     def residual_and_jacobian_parts(
         self, y, region, rock, coeffs, t0, t1, tangent_dtype=None

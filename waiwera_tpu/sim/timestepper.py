@@ -187,6 +187,23 @@ class Timestepper:
         self.output_initial = bool(ocfg.get("initial", True))
         self.output_final = bool(ocfg.get("final", True))
         self.output_frequency = int(ocfg.get("frequency", 1))
+        # Jacobian dump for debugging (output.jacobian: true or
+        # {"filename": ...}; flow_simulation.F90:309-390 MatView
+        # analogue — written at every output time, npz BSR instead of
+        # PETSc binary)
+        jac_cfg = ocfg.get("jacobian", False)
+        self.jacobian_filename = None
+        if jac_cfg:
+            if isinstance(jac_cfg, dict):
+                self.jacobian_filename = jac_cfg.get("filename")
+            if not self.jacobian_filename:
+                base = getattr(output, "filename", None) or config.get(
+                    "title", "waiwera"
+                )
+                stem = str(base)
+                if stem.endswith(".h5"):
+                    stem = stem[:-3]
+                self.jacobian_filename = stem + "_jacobian.npz"
 
         # checkpoints
         self.checkpoints = Checkpoints(start_time=self.start_time)
@@ -514,6 +531,7 @@ class Timestepper:
                         self._source_output(fg, t - dt_last, dt_last, xg),
                         tracer=xg, fluxes=flux_nat)
                     self.output_index += 1
+                    self._dump_jacobian(y, region, lhs, t, dt_last)
                     if since_output == self.output_frequency:
                         since_output = 0
                 if self.checkpoints.hit:
@@ -540,6 +558,7 @@ class Timestepper:
                               self._source_output(fg, t, dt_last, xg),
                               tracer=xg, fluxes=flux_nat)
             self.output_index += 1
+            self._dump_jacobian(y, region, lhs, t, dt_last)
         log.write(
             "info",
             "timestepper",
@@ -554,6 +573,41 @@ class Timestepper:
         self.final_fluid = fluid
         self.aborted = aborted
         return not aborted
+
+    def _dump_jacobian(self, y, region, lhs, t, dt):
+        """Binary Jacobian dump for debugging (output.jacobian;
+        flow_simulation.F90:2989 MatView analogue). Written as an npz
+        of the BSR arrays at the current solution, in natural cell
+        order; load with numpy/scipy (sp.bsr_matrix((data, indices,
+        indptr)))."""
+        if self.jacobian_filename is None or dt <= 0.0:
+            return
+        from waiwera_tpu.solver.system import method_coeffs
+
+        sim = self.sim
+        base = getattr(sim, "base", sim)
+        if hasattr(sim, "to_global"):
+            y = jnp.asarray(sim.to_global(y))
+            region = jnp.asarray(sim.to_global(region))
+            lhs = jnp.asarray(sim.to_global(lhs))
+        coeffs = method_coeffs(
+            "beuler", jnp.asarray(dt), jnp.asarray(dt),
+            jnp.asarray(0.0), lhs, lhs,
+        )
+        _, _, _, _, mat = base.system.residual_and_jacobian(
+            y, region, base.rock, coeffs,
+            jnp.asarray(t - dt), jnp.asarray(t),
+        )
+        st = mat.structure
+        np.savez(
+            self.jacobian_filename,
+            data=np.asarray(mat.data),
+            indices=np.asarray(st.indices),
+            indptr=np.asarray(st.indptr),
+            num_rows=st.num_rows,
+            block_size=st.block_size,
+            time=t,
+        )
 
     def _termination_tol(self):
         return 1e-10

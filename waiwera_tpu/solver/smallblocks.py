@@ -92,6 +92,103 @@ def invert_blocks(a: Array) -> Array:
     raise NotImplementedError(f"block size {b} > 4")
 
 
+# ---------------------------------------------------------------------
+# Element-major ("em") block kernels: blocks stored as [b*b, N] with
+# the batch axis LAST. On TPU a materialised [N, b, b] array is tiled
+# T(4,128) on its trailing dims — a 57x memory expansion at b=3
+# (measured r4: 3 GB per flagship block array, an OOM) — while
+# [b*b, N] keeps the long axis on lanes at native density. Row i*b+j
+# holds block element (i, j).
+# ---------------------------------------------------------------------
+
+
+def _det_em(e, rows, cols):
+    """Laplace-expansion determinant over element accessor e(i,j)."""
+    if len(rows) == 1:
+        return e(rows[0], cols[0])
+    acc = None
+    for k, c in enumerate(cols):
+        term = e(rows[0], c) * _det_em(
+            e, rows[1:], cols[:k] + cols[k + 1 :]
+        )
+        if k % 2 == 1:
+            term = -term
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def invert_blocks_em(a2: Array) -> Array:
+    """Inverse of [b*b, N] element-major blocks (b in 1..4) via
+    adjugate/determinant, all ops on [N]-vectors."""
+    bb = a2.shape[0]
+    b = int(round(bb ** 0.5))
+    if b * b != bb:
+        raise ValueError(f"not a square block: {bb} elements")
+
+    def e(i, j):
+        return a2[i * b + j]
+
+    if b == 1:
+        return 1.0 / a2
+    idx = tuple(range(b))
+    det = _det_em(e, idx, idx)
+    inv_det = 1.0 / det
+    rows = []
+    for i in range(b):
+        for j in range(b):
+            rs = tuple(r for r in idx if r != j)
+            cs = tuple(c for c in idx if c != i)
+            cof = _det_em(e, rs, cs)
+            if (i + j) % 2 == 1:
+                cof = -cof
+            rows.append(cof * inv_det)
+    return jnp.stack(rows)
+
+
+def matmul_em(a2: Array, b2: Array) -> Array:
+    """[b*b, N] @ [b*b, N] blockwise product, element-major."""
+    bb = a2.shape[0]
+    b = int(round(bb ** 0.5))
+    rows = []
+    for i in range(b):
+        for j in range(b):
+            acc = None
+            for k in range(b):
+                t = a2[i * b + k] * b2[k * b + j]
+                acc = t if acc is None else acc + t
+            rows.append(acc)
+    return jnp.stack(rows)
+
+
+def apply_blocks_em(a2: Array, x: Array) -> Array:
+    """y[n, i] = sum_j a2[i*b+j, n] * x[n, j] for x [N, b] (blockwise
+    mat-vec with element-major blocks; a2's batch may be padded)."""
+    bb = a2.shape[0]
+    b = int(round(bb ** 0.5))
+    n = x.shape[0]
+    cols = []
+    for i in range(b):
+        acc = None
+        for j in range(b):
+            t = a2[i * b + j][:n] * x[:, j]
+            acc = t if acc is None else acc + t
+        cols.append(acc)
+    return jnp.stack(cols, axis=1)
+
+
+def em_from_batch(a: Array) -> Array:
+    """[N, b, b] -> [b*b, N] (host/test convenience)."""
+    n, b, _ = a.shape
+    return a.reshape(n, b * b).T
+
+
+def batch_from_em(a2: Array) -> Array:
+    """[b*b, N] -> [N, b, b]."""
+    bb, n = a2.shape
+    b = int(round(bb ** 0.5))
+    return a2.T.reshape(n, b, b)
+
+
 def hessenberg_lstsq(H: Array, beta: Array, m: int) -> Array:
     """Solve min ||beta e1 - H y|| for upper-Hessenberg H [m+1, m]
     by Givens rotations (GMRES least squares), pure jnp."""

@@ -106,6 +106,123 @@ class System:
             if self.dia is not None
             else None
         )
+        # periodic-slice face gather/scatter (canonical face order):
+        # face-state gathers and inflow scatter-adds were ~0.85 s of
+        # the f64 RHS on the 512k-cell flagship before this
+        self.face_plan = (
+            dia.face_plan(self.band_plan, self.dia.offsets)
+            if self.band_plan is not None
+            else None
+        )
+        if self.face_plan is not None:
+            fl_ = self.face_plan.f_live
+            self._tail_cl = jnp.asarray(face_cells[fl_:, 0], jnp.int32)
+            self._tail_cr = jnp.asarray(face_cells[fl_:, 1], jnp.int32)
+
+    # -- plan-based face data movement --------------------------------
+
+    def _face_gather_leaf(self, a, right: bool):
+        """One [N, ...] array -> [F, ...] per-face values of the left
+        (cl) or right (cr) cell; slices via the face plan, indexed
+        gather only for the ghost-face tail."""
+        fp = self.face_plan
+        nf = self.mesh.face_cells.shape[0]
+        if isinstance(a, np.ndarray) and a.dtype == jax.dtypes.float0:
+            return np.zeros((nf,) + a.shape[1:], jax.dtypes.float0)
+        head = dia.plan_gather_cells(fp, a, right)
+        tail_idx = self._tail_cr if right else self._tail_cl
+        if int(tail_idx.shape[0]):
+            return jnp.concatenate([head, a[tail_idx]], axis=0)
+        return head
+
+    def gather_face_sides(self, tree):
+        """(left, right) per-face pytrees of a cell-state pytree."""
+        if self.face_plan is None:
+            cl = self.mesh.face_cells[:, 0]
+            cr = self.mesh.face_cells[:, 1]
+            return (
+                assembly.gather_state(tree, cl),
+                assembly.gather_state(tree, cr),
+            )
+        l = jax.tree_util.tree_map(
+            lambda a: self._face_gather_leaf(a, False), tree
+        )
+        r = jax.tree_util.tree_map(
+            lambda a: self._face_gather_leaf(a, True), tree
+        )
+        return l, r
+
+    def scatter_face_sides(self, vals_l, vals_r, mesh=None):
+        """Accumulate per-face values into cells: vals_l into cl rows,
+        vals_r into cr rows ([F, ...] -> [N, ...])."""
+        if mesh is None:
+            mesh = self.mesh
+        n = mesh.num_cells
+        if self.face_plan is None:
+            out = jnp.zeros((n,) + vals_l.shape[1:], vals_l.dtype)
+            return (
+                out.at[mesh.face_cells[:, 0]].add(vals_l)
+                .at[mesh.face_cells[:, 1]].add(vals_r)
+            )
+        fp = self.face_plan
+        out = dia.plan_scatter_add_cells(
+            fp, vals_l[: fp.f_live], n, False
+        ) + dia.plan_scatter_add_cells(fp, vals_r[: fp.f_live], n, True)
+        if int(self._tail_cl.shape[0]):
+            out = (
+                out.at[self._tail_cl].add(vals_l[fp.f_live :])
+                .at[self._tail_cr].add(vals_r[fp.f_live :])
+            )
+        return out
+
+    def scatter_face_sides_em(self, vals_l2, vals_r2, mesh=None):
+        """scatter_face_sides with the face/cell axis LAST
+        ([..., F] -> [..., N]); used for element-major block data."""
+        if mesh is None:
+            mesh = self.mesh
+        n = mesh.num_cells
+        if self.face_plan is None:
+            out = jnp.zeros(vals_l2.shape[:-1] + (n,), vals_l2.dtype)
+            return (
+                out.at[..., mesh.face_cells[:, 0]].add(vals_l2)
+                .at[..., mesh.face_cells[:, 1]].add(vals_r2)
+            )
+        fp = self.face_plan
+        out = dia.plan_scatter_add_cells_last(
+            fp, vals_l2[..., : fp.f_live], n, False
+        ) + dia.plan_scatter_add_cells_last(
+            fp, vals_r2[..., : fp.f_live], n, True
+        )
+        if int(self._tail_cl.shape[0]):
+            out = (
+                out.at[..., self._tail_cl].add(vals_l2[..., fp.f_live :])
+                .at[..., self._tail_cr].add(vals_r2[..., fp.f_live :])
+            )
+        return out
+
+    def _perm_sides(self, rock: RockState, mesh=None):
+        if mesh is None:
+            mesh = self.mesh
+        if self.face_plan is None:
+            return assembly.face_permeability_sides(rock, mesh)
+        pl = self._face_gather_leaf(rock.permeability, False)
+        pr = self._face_gather_leaf(rock.permeability, True)
+        dir_ = mesh.face_permeability_direction[:, None]
+        perm_l = jnp.take_along_axis(pl, dir_, axis=1)[:, 0]
+        perm_r = jnp.take_along_axis(pr, dir_, axis=1)[:, 0]
+        return perm_l, perm_r
+
+    def _inflows(self, fluxes: Array, mesh=None) -> Array:
+        """cell_inflows via the face plan when available."""
+        if mesh is None:
+            mesh = self.mesh
+        if self.face_plan is None:
+            return assembly.cell_inflows(fluxes, mesh, self.npv)
+        flow = fluxes[:, : self.npv] * mesh.face_area[:, None]
+        rhs = self.scatter_face_sides(-flow, flow, mesh)
+        vol = jnp.where(mesh.cell_volume > 0.0, mesh.cell_volume, 1.0)
+        rhs = rhs / vol[:, None]
+        return jnp.where(mesh.is_ghost[:, None], 0.0, rhs)
 
     # -- parallel hooks (overridden by parallel.spmd.LocalSystem) -----
     # On a single device these are identities; under shard_map they
@@ -235,10 +352,29 @@ class System:
             )
 
     def fluxes(self, fluid, cond, rock) -> Array:
-        return assembly.face_fluxes(
-            fluid,
-            rock,
-            cond,
+        if self.face_plan is None:
+            return assembly.face_fluxes(
+                fluid,
+                rock,
+                cond,
+                self.mesh,
+                self.npv,
+                self.eos.num_mobile_phases,
+                self.isothermal,
+            )
+        fl, fr = self.gather_face_sides(fluid)
+        perm_l, perm_r = self._perm_sides(rock)
+        cdl = cdr = None
+        if not self.isothermal:
+            cdl = self._face_gather_leaf(cond, False)
+            cdr = self._face_gather_leaf(cond, True)
+        return assembly.face_fluxes_pairs(
+            fl,
+            fr,
+            perm_l,
+            perm_r,
+            cdl,
+            cdr,
             self.mesh,
             self.npv,
             self.eos.num_mobile_phases,
@@ -250,7 +386,7 @@ class System:
         sources. Returns (rhs [N, npv], fluxes [F, nf])."""
         with jax.named_scope("cell_inflows"):
             fluxes = self.fluxes(fluid, cond, rock)
-            inflow = assembly.cell_inflows(fluxes, self.mesh, self.npv)
+            inflow = self._inflows(fluxes)
         inflow = inflow + self.source_term(fluid, t0, t1)
         return jnp.where(self.mesh.is_ghost[:, None], 0.0, inflow), fluxes
 
@@ -303,16 +439,23 @@ class System:
         return r, L, fluxes, err, self.assemble_bsr(parts)
 
     def assemble_bsr(self, parts) -> bsr.BSRMatrix:
-        """Scatter block parts (diag, J[l,r], J[r,l]) into BSR data.
+        """Scatter element-major block parts (diag2 [b*b,N], J[l,r]
+        [b*b,F], J[r,l] [b*b,F]) into BSR data.
 
         Only needed off the banded fast path (ELL matvec, LU, FD
         validation): on TPU this scatter plus the band gather it feeds
         cost ~1.5 s per 512k-cell Jacobian, so the Newton hot path
         keeps the parts form and packs bands directly
         (linear_operator_from_parts)."""
-        diag, block_lr, block_rl = parts
+        from waiwera_tpu.solver.smallblocks import batch_from_em
+
+        diag2, lr2, rl2 = parts
         return bsr.assemble(
-            self.structure, diag, block_lr, block_rl, self.pos_lr,
+            self.structure,
+            batch_from_em(diag2),
+            batch_from_em(lr2),
+            batch_from_em(rl2),
+            self.pos_lr,
             self.pos_rl,
         )
 
@@ -410,9 +553,11 @@ class System:
                 self.assemble_bsr(parts), pc_name, dtype=dtype,
                 sweeps=sweeps,
             )
-        diag, block_lr, block_rl = parts
+        from waiwera_tpu.solver.smallblocks import invert_blocks_em
+
+        diag2, lr2, rl2 = parts
         m = dia.bands_from_blocks(
-            self.dia, self.band_plan, diag, block_lr, block_rl, dtype
+            self.dia, self.band_plan, diag2, lr2, rl2, dtype
         )
         if dia._use_pallas(m.bands.dtype):
             mv = dia._interleave_bands(m).matvec
@@ -421,13 +566,12 @@ class System:
         if pc_name in ("none",):
             pc = lambda r: r
         elif pc_name in ("bjacobi", "jacobi"):
-            dinv = invert_blocks(
-                diag if dtype is None else diag.astype(dtype)
+            dinv2 = invert_blocks_em(
+                diag2 if dtype is None else diag2.astype(dtype)
             )
-            pc = dia.dia_block_jacobi(dinv, dtype)
+            pc = dia.dia_block_jacobi_em(dinv2, dtype)
         else:  # asm / ilu / dilu / sgs -> shift-based DILU
-            pc = dia.dia_dilu(m, invert_blocks, sweeps=sweeps,
-                              dtype=dtype)
+            pc = dia.dia_dilu_em(m, sweeps=sweeps, dtype=dtype)
         return mv, pc
 
     def _mesh_cast(self, dtype):
@@ -505,12 +649,18 @@ class System:
             dL.append(dLv)
             dq.append(dqv)
 
-        # face fluxes and their side Jacobians
-        perm_l, perm_r = assembly.face_permeability_sides(rock, mesh)
-        fl = assembly.gather_state(fluid, cl)
-        fr = assembly.gather_state(fluid, cr)
-        cdl = cond0[cl]
-        cdr = cond0[cr]
+        # face fluxes and their side Jacobians (plan-based slicing
+        # gathers when the face plan holds; indexed gathers otherwise)
+        perm_l, perm_r = self._perm_sides(rock, mesh)
+        if self.face_plan is not None:
+            fl, fr = self.gather_face_sides(fluid)
+            cdl = self._face_gather_leaf(cond0, False)
+            cdr = self._face_gather_leaf(cond0, True)
+        else:
+            fl = assembly.gather_state(fluid, cl)
+            fr = assembly.gather_state(fluid, cr)
+            cdl = cond0[cl]
+            cdr = cond0[cr]
 
         def flux_fn(f_l, f_r, c_l, c_r):
             return assembly.face_fluxes_pairs(
@@ -537,72 +687,113 @@ class System:
 
         zf = jax.tree_util.tree_map(_zero_tangent, fl)
         zc = jnp.zeros_like(cdl)
+        if self.face_plan is not None:
+            def side_gather(tree, right):
+                return jax.tree_util.tree_map(
+                    lambda a: self._face_gather_leaf(a, right), tree
+                )
+        else:
+            def side_gather(tree, right):
+                return assembly.gather_state(tree, cr if right else cl)
         dflux_l = []
         dflux_r = []
         for v in range(npv):
-            dfl = assembly.gather_state(d_fluid[v], cl)
-            t = flux_lin(dfl, zf, d_cond[v][cl], zc)
+            dfl = side_gather(d_fluid[v], False)
+            dcl = self._face_gather_leaf(d_cond[v], False) \
+                if self.face_plan is not None else d_cond[v][cl]
+            t = flux_lin(dfl, zf, dcl, zc)
             dflux_l.append(t[:, :npv])
-            dfr = assembly.gather_state(d_fluid[v], cr)
-            t = flux_lin(zf, dfr, zc, d_cond[v][cr])
+            dfr = side_gather(d_fluid[v], True)
+            dcr = self._face_gather_leaf(d_cond[v], True) \
+                if self.face_plan is not None else d_cond[v][cr]
+            t = flux_lin(zf, dfr, zc, dcr)
             dflux_r.append(t[:, :npv])
 
         # residual
-        inflow = assembly.cell_inflows(fluxes, mesh, npv)
+        inflow = self._inflows(fluxes, mesh)
         R = inflow + q
         R = jnp.where(mesh.is_ghost[:, None], 0.0, R)
         r = coeffs.c_lhs * L + coeffs.const - coeffs.dt_eff * R
         r = jnp.where(mesh.is_ghost[:, None], 0.0, r)
 
-        # -- assemble blocks: J[i,j][e,v] = dr_i[e]/dy_j[v] ------------
-        # diagonal: cL dL - dt_eff dq + face self-terms
-        diag = jnp.stack(
-            [
-                coeffs.c_lhs * dL[v] - coeffs.dt_eff * dq[v]
-                for v in range(npv)
-            ],
-            axis=-1,
-        )  # [N, npv(out), npv(in)]
-
+        # -- assemble blocks, ELEMENT-MAJOR: parts are (diag2 [b*b,N],
+        # lr2 [b*b,F], rl2 [b*b,F]) with the long axis last. A
+        # materialised [F, 3, 3] array tiles to T(4,128) on TPU — a
+        # 57x padded buffer (3 GB at flagship size, the r4 OOM) — so
+        # block data lives as stacks of [N]/[F] vectors throughout.
+        # J[i,j][e,v] = dr_i[e]/dy_j[v], row e*npv+v of the stack.
         area = mesh.face_area
         vol = jnp.where(mesh.cell_volume > 0.0, mesh.cell_volume, 1.0)
-        ghost_l = mesh.is_ghost[cl]
-        ghost_r = mesh.is_ghost[cr]
+        if self.face_plan is not None:
+            vol_l = self._face_gather_leaf(vol, False)
+            vol_r = self._face_gather_leaf(vol, True)
+            ghost_l = self._face_gather_leaf(mesh.is_ghost, False)
+            ghost_r = self._face_gather_leaf(mesh.is_ghost, True)
+        else:
+            vol_l = vol[cl]
+            vol_r = vol[cr]
+            ghost_l = mesh.is_ghost[cl]
+            ghost_r = mesh.is_ghost[cr]
+        av_l = area / vol_l  # [F]
+        av_r = area / vol_r
+        either_ghost = ghost_l | ghost_r
 
-        dflux_l = jnp.stack(dflux_l, axis=-1)  # [F, npv, npv]
-        dflux_r = jnp.stack(dflux_r, axis=-1)
-
-        av_l = (area / vol[cl])[:, None, None]
-        av_r = (area / vol[cr])[:, None, None]
-
-        # diag scatter: row l gets +dt_eff * a/v_l * dflux_l;
-        #               row r gets -dt_eff * a/v_r * dflux_r
-        diag = diag.at[cl].add(
-            jnp.where(
-                ghost_l[:, None, None],
-                0.0,
-                coeffs.dt_eff * av_l * dflux_l,
-            )
+        # diagonal: cL dL - dt_eff dq + face self-terms
+        diag2 = jnp.stack(
+            [
+                coeffs.c_lhs * dL[v][:, ii] - coeffs.dt_eff * dq[v][:, ii]
+                for ii in range(npv)
+                for v in range(npv)
+            ]
+        )  # [bb, N]
+        contrib_l2 = jnp.stack(
+            [
+                jnp.where(
+                    ghost_l, 0.0,
+                    coeffs.dt_eff * av_l * dflux_l[v][:, ii],
+                )
+                for ii in range(npv)
+                for v in range(npv)
+            ]
+        )  # [bb, F]
+        contrib_r2 = jnp.stack(
+            [
+                jnp.where(
+                    ghost_r, 0.0,
+                    -coeffs.dt_eff * av_r * dflux_r[v][:, ii],
+                )
+                for ii in range(npv)
+                for v in range(npv)
+            ]
         )
-        diag = diag.at[cr].add(
-            jnp.where(
-                ghost_r[:, None, None],
-                0.0,
-                -coeffs.dt_eff * av_r * dflux_r,
-            )
+        diag2 = diag2 + self.scatter_face_sides_em(
+            contrib_l2, contrib_r2, mesh
         )
         # ghost rows: identity
-        eye = jnp.eye(npv)
-        diag = jnp.where(mesh.is_ghost[:, None, None], eye, diag)
+        eye2 = jnp.eye(npv, dtype=diag2.dtype).reshape(-1)[:, None]
+        diag2 = jnp.where(mesh.is_ghost[None, :], eye2, diag2)
 
         # off-diagonal blocks (zero if either end is ghost: ghost dofs
         # are fully decoupled)
-        either_ghost = (ghost_l | ghost_r)[:, None, None]
-        block_lr = jnp.where(
-            either_ghost, 0.0, coeffs.dt_eff * av_l * dflux_r
+        lr2 = jnp.stack(
+            [
+                jnp.where(
+                    either_ghost, 0.0,
+                    coeffs.dt_eff * av_l * dflux_r[v][:, ii],
+                )
+                for ii in range(npv)
+                for v in range(npv)
+            ]
         )
-        block_rl = jnp.where(
-            either_ghost, 0.0, -coeffs.dt_eff * av_r * dflux_l
+        rl2 = jnp.stack(
+            [
+                jnp.where(
+                    either_ghost, 0.0,
+                    -coeffs.dt_eff * av_r * dflux_l[v][:, ii],
+                )
+                for ii in range(npv)
+                for v in range(npv)
+            ]
         )
 
-        return r, L, fluxes, err, (diag, block_lr, block_rl)
+        return r, L, fluxes, err, (diag2, lr2, rl2)
