@@ -655,6 +655,7 @@ class Simulation:
                 frac,
                 inj,
                 ghost_value,
+                system=self.system,
             )
 
         return tracer_step

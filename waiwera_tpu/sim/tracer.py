@@ -117,6 +117,7 @@ def solve(
     owned: Optional[Array] = None,
     sync=None,
     reduce_sum=None,
+    system=None,
 ) -> TracerResult:
     """One auxiliary solve.
 
@@ -145,11 +146,27 @@ def solve(
     vol = jnp.where(mesh.cell_volume > 0.0, mesh.cell_volume, 1.0)
     is_ghost = mesh.is_ghost
 
+    # face gather/scatter: plan-based slicing when the simulation's
+    # System detected the periodic face structure (indexed gathers run
+    # far below HBM bandwidth on TPU and would dominate the aux
+    # matvec, which runs once per Krylov iteration)
+    if system is not None and getattr(system, "face_plan", None) is not None:
+        gather_l = lambda a: system._face_gather_leaf(a, False)
+        gather_r = lambda a: system._face_gather_leaf(a, True)
+        scatter2 = lambda va, vb: system.scatter_face_sides(va, vb, mesh)
+    else:
+        gather_l = lambda a: a[cl]
+        gather_r = lambda a: a[cr]
+
+        def scatter2(va, vb):
+            out = jnp.zeros((n,) + va.shape[1:], va.dtype)
+            return out.at[cl].add(va).at[cr].add(vb)
+
     al = balance_coefs(tracers, fluid, rock)
     pidx = jnp.asarray(tracers.phase_index)
-    # per-face tracer-phase mass flux [F, nt] and upstream cell
+    # per-face tracer-phase mass flux [F, nt]; upstream side = sign
     pf = fluxes[:, npv:][:, pidx]
-    upstream = jnp.where(pf >= 0.0, cl[:, None], cr[:, None])
+    up_is_l = pf >= 0.0
     adv = pf * area[:, None]  # [F, nt] mass flow
     # diffusion: harmonic phi rho tau (tau = S), times D / d12 * area
     dfac_cell = (
@@ -157,8 +174,8 @@ def solve(
         * fluid.density[:, pidx]
         * fluid.saturation[:, pidx]
     )
-    f1 = dfac_cell[cl]
-    f2 = dfac_cell[cr]
+    f1 = gather_l(dfac_cell)
+    f2 = gather_r(dfac_cell)
     wsum = f1 + f2
     dfac = jnp.where(
         jnp.abs(wsum) > 1e-30,
@@ -193,20 +210,20 @@ def solve(
     identity_row = (~present) | is_ghost[:, None]
     fixed = jnp.where(is_ghost[:, None], ghost_value, 0.0)
 
-    gidx = jnp.arange(nt)
     own = None if owned is None else owned[:, None]
+    vol_l = gather_l(vol)
+    vol_r = gather_r(vol)
 
     def ar_matvec(x):
-        out = (decay_diag + prod_diag) * x
-        xu = x[upstream, gidx[None, :]]  # [F, nt]
-        # advection (flow_simulation.F90:1664-1676)
-        out = out.at[cl].add(-adv * xu / vol[cl][:, None])
-        out = out.at[cr].add(adv * xu / vol[cr][:, None])
-        # diffusion (:1677-1685)
-        g = x[cr] - x[cl]
-        out = out.at[cl].add(diff_k * g / vol[cl][:, None])
-        out = out.at[cr].add(-diff_k * g / vol[cr][:, None])
-        return out
+        xl = gather_l(x)
+        xr = gather_r(x)
+        xu = jnp.where(up_is_l, xl, xr)  # [F, nt] upstream value
+        # advection (flow_simulation.F90:1664-1676) + diffusion
+        # (:1677-1685), accumulated in one two-sided face scatter
+        g = xr - xl
+        va = (-adv * xu + diff_k * g) / vol_l[:, None]
+        vb = (adv * xu - diff_k * g) / vol_r[:, None]
+        return (decay_diag + prod_diag) * x + scatter2(va, vb)
 
     def a_matvec(x):
         xs = x if sync is None else sync(x)
@@ -219,16 +236,9 @@ def solve(
         b = jnp.where(own, b, 0.0)
 
     # exact diagonal for Jacobi preconditioning
-    diag_ar = decay_diag + prod_diag
-    up_is_l = upstream == cl[:, None]
-    diag_ar = diag_ar.at[cl].add(
-        jnp.where(up_is_l, -adv / vol[cl][:, None], 0.0)
-    )
-    diag_ar = diag_ar.at[cr].add(
-        jnp.where(~up_is_l, adv / vol[cr][:, None], 0.0)
-    )
-    diag_ar = diag_ar.at[cl].add(-diff_k / vol[cl][:, None])
-    diag_ar = diag_ar.at[cr].add(-diff_k / vol[cr][:, None])
+    va = (jnp.where(up_is_l, -adv, 0.0) - diff_k) / vol_l[:, None]
+    vb = (jnp.where(~up_is_l, adv, 0.0) - diff_k) / vol_r[:, None]
+    diag_ar = decay_diag + prod_diag + scatter2(va, vb)
     diag = jnp.where(identity_row, 1.0, c_al * al - dt_eff * diag_ar)
     inv_diag = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 1.0)
 
