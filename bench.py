@@ -261,7 +261,12 @@ def main():
             int(os.environ.get("BENCH_NZ", 16)),
         )]
 
-    linear_pc = os.environ.get("BENCH_PC", "dilu")
+    # bjacobi measured: 1.18 s/step, 340 Krylov its on the flagship vs
+    # dilu 10.2 s, 1278 its + 5 Newton its (r4) — the shift-based DILU
+    # sweeps degrade late-Newton solves on TPU, so block-Jacobi is the
+    # production default (and the data justifying skipping ILU(k):
+    # even ILU(0)-class preconditioning loses to bjacobi here)
+    linear_pc = os.environ.get("BENCH_PC", "bjacobi")
     sim = None
     for nx, ny, nz in sizes:
         try:
@@ -366,11 +371,15 @@ def main():
         t_lin = max(t_rjl - t_res - t_jac, 0.0)
         result["linear_solve_seconds"] = t_lin
         result["linear_solve_iterations_one"] = lin_its_one
-        # transitions + post-linesearch residual recompute approx =
-        # residual + derived-state overhead; stage sum per the Newton
-        # loop: initial residual + its * (jac + solve + recompute)
+        # stage sum per the Newton loop: initial residual +
+        # its * (jacobian + post-linesearch recompute) + the linear
+        # solve scaled to the step's total Krylov iterations (later
+        # solves need more iterations than the y0 solve timed above)
         its = max(iterations, 1)
-        stage_sum = t_res + its * (t_jac + t_lin + t_res)
+        lin_per_it = t_lin / max(lin_its_one, 1)
+        stage_sum = (
+            t_res + its * (t_jac + t_res) + linear_its * lin_per_it
+        )
         result["stage_sum_seconds"] = stage_sum
         result["stage_vs_step"] = stage_sum / step_seconds
     except Exception as e:
@@ -555,20 +564,38 @@ def main():
             ).tocsc()
             b = -np.asarray(r_r).reshape(-1)
             t0 = time.perf_counter()
-            ilu = spla.spilu(A, drop_tol=1e-4, fill_factor=2)
-            M = spla.LinearOperator(A.shape, ilu.solve)
+            what = "scipy spilu+bicgstab linear solve"
+            try:
+                ilu = spla.spilu(A, drop_tol=1e-5, fill_factor=10)
+                M = spla.LinearOperator(A.shape, ilu.solve)
+            except Exception:
+                # ILU pivot breakdown: fall back to block-Jacobi (the
+                # same preconditioner the TPU solve uses)
+                what = "scipy bjacobi+bicgstab linear solve"
+                dinv = np.linalg.inv(
+                    np.asarray(mat_r.data)[
+                        np.asarray(mat_r.structure.diag_pos)
+                    ]
+                )
+
+                def bj(v):
+                    return np.einsum(
+                        "nij,nj->ni", dinv, v.reshape(-1, npv)
+                    ).reshape(-1)
+
+                M = spla.LinearOperator(A.shape, bj)
             cnt = {"n": 0}
 
             def cb(xk):
                 cnt["n"] += 1
 
             x, info = spla.bicgstab(
-                A, b, M=M, rtol=1e-5, maxiter=1000, callback=cb
+                A, b, M=M, rtol=1e-5, maxiter=2000, callback=cb
             )
             t_cpu = time.perf_counter() - t0
             result["cpu_reference"] = {
                 "cells": n_r,
-                "what": "scipy spilu(1e-4,2)+bicgstab linear solve",
+                "what": what,
                 "seconds": t_cpu,
                 "iterations": cnt["n"],
                 "info": int(info),

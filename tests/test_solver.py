@@ -357,6 +357,80 @@ def test_band_plan_pack_matches_gather():
         )
 
 
+def test_hybrid_face_plan_minc():
+    """MINC meshes (banded fracture lattice + appended matrix chains)
+    must take the hybrid path: periodic face plan for the lattice
+    prefix, indexed tail for chains/ghosts — and the hybrid operator
+    must match the BSR/ELL fallback exactly."""
+    from waiwera_tpu.mesh.rect import rectangular_mesh
+    from waiwera_tpu.sim.simulation import Simulation
+    from waiwera_tpu.solver.system import MethodCoeffs
+
+    nx, ny, nz = 6, 4, 4
+    mesh = rectangular_mesh(
+        [10.0] * nx, [10.0] * ny, [5.0] * nz, origin=[0, 0, -20.0]
+    )
+    n0 = nx * ny * nz
+    config = {
+        "eos": {"name": "we"},
+        "initial": {"primary": [2.0e6, 120.0], "region": 1},
+        "mesh": {
+            "zones": {"low": {"type": "box", "z": [-20.0, -10.0]}},
+            "minc": {
+                # two matrix levels: chain-major cell numbering gives
+                # per-parent fracture->matrix offsets, which breaks
+                # pure banding and exercises the hybrid tail
+                "geometry": {
+                    "fracture": {"volume": 0.2, "spacing": 10.0},
+                    "matrix": {"volume": [0.3, 0.5]},
+                },
+                "rock": {"zones": ["low"]},
+            },
+        },
+        "boundaries": [
+            {
+                "primary": [2.0e6, 120.0],
+                "region": 1,
+                "faces": {
+                    "cells": list(range(n0 - nx * ny, n0)),
+                    "normal": [0.0, 0.0, 1.0],
+                },
+            }
+        ],
+    }
+    sim = Simulation(config, mesh=mesh)
+    system = sim.system
+    assert system.band_plan is None  # MINC breaks pure banding
+    assert system.face_plan is not None  # ...but the hybrid holds
+    assert system.hybrid is not None
+    assert int(system._tail_cl.shape[0]) > 0
+
+    lhs0, _, _ = sim.lhs_at(sim.y0, sim.region0)
+    coeffs = MethodCoeffs(
+        c_lhs=jnp.asarray(1.0), dt_eff=jnp.asarray(1e4), const=-lhs0
+    )
+    r, _, _, _, parts = system.residual_and_jacobian_parts(
+        sim.y0, sim.region0, sim.rock, coeffs,
+        jnp.asarray(0.0), jnp.asarray(1e4),
+    )
+    mat = system.assemble_bsr(parts)
+    nrows = system.mesh.num_cells
+    v = jnp.asarray(
+        np.random.default_rng(11).standard_normal((nrows, system.npv))
+    )
+    for pc_name in ("bjacobi", "none"):
+        mv_a, pc_a = system.make_linear_operator(mat, pc_name)
+        mv_b, pc_b = system.linear_operator_from_parts(parts, pc_name)
+        np.testing.assert_allclose(
+            np.asarray(mv_b(v)), np.asarray(mv_a(v)),
+            rtol=1e-12, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pc_b(v)), np.asarray(pc_a(v)),
+            rtol=1e-10, atol=1e-10,
+        )
+
+
 def test_band_plan_none_on_permuted_mesh():
     """A cell permutation that breaks the periodic-slice structure must
     make band_plan return None (fallback to the gather pack) without

@@ -206,17 +206,27 @@ def bands_from_blocks(
         diag2 = diag2.astype(dtype)
         lr2 = lr2.astype(dtype)
         rl2 = rl2.astype(dtype)
+    def _place(side, f0, S, q, p, r0):
+        src = lr2 if side == 0 else rl2
+        v = src[:, f0 : f0 + S * q].reshape(bb, S, q)
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, p - q)))
+        v = v.reshape(bb, S * p)
+        return jnp.pad(v, ((0, 0), (r0, n_pad - r0 - S * p)))
+
     out = []
     for entry in plan.entries:
         if entry[0] == "diag":
             v = jnp.pad(diag2, ((0, 0), (0, n_pad - n)))
+        elif entry[0] == "segs":
+            # piecewise-periodic band (hybrid meshes): one band from
+            # several disjoint-row segments
+            v = None
+            for seg in entry[1]:
+                pv = _place(*seg)
+                v = pv if v is None else v + pv
         else:
             _, side, f0, S, q, p, r0 = entry
-            src = lr2 if side == 0 else rl2
-            v = src[:, f0 : f0 + S * q].reshape(bb, S, q)
-            v = jnp.pad(v, ((0, 0), (0, 0), (0, p - q)))
-            v = v.reshape(bb, S * p)
-            v = jnp.pad(v, ((0, 0), (r0, n_pad - r0 - S * p)))
+            v = _place(side, f0, S, q, p, r0)
         out.append(v)  # [bb, N_pad]
     return DIAMatrix(
         offsets=dia.offsets,
@@ -287,6 +297,155 @@ def face_plan(plan, offsets) -> Optional[FacePlan]:
         f += S * q
     pad = max(d + p for (d, f0, S, q, p, r0) in entries)
     return FacePlan(entries=tuple(entries), f_live=f, pad=pad)
+
+
+MAX_PLAN_SEGMENTS = 32
+
+
+def _periodic_segments(rows: np.ndarray):
+    """Split strictly ascending rows into (S, q, p, r0) periodic
+    chunks: rows[i] = r0 + (i//q)*p + i%q within each chunk."""
+    segs = []
+    i = 0
+    L = len(rows)
+    while i < L:
+        r0 = int(rows[i])
+        q = 1
+        while i + q < L and rows[i + q] == r0 + q:
+            q += 1
+        if i + q < L:
+            p = int(rows[i + q] - r0)
+        else:
+            p = q
+        if p < q or p <= 0:
+            return None  # duplicate or non-ascending rows
+        S = 1
+        while True:
+            nxt = i + S * q
+            if nxt + q > L:
+                break
+            if not np.array_equal(
+                rows[nxt : nxt + q], r0 + S * p + np.arange(q)
+            ):
+                break
+            S += 1
+        segs.append((S, q, p, r0))
+        i += S * q
+        if len(segs) > MAX_PLAN_SEGMENTS:
+            return None
+    return segs
+
+
+def face_plan_direct(
+    face_cells: np.ndarray, is_ghost: np.ndarray, num_rows: int
+) -> Optional[FacePlan]:
+    """Detect the periodic-slice face plan directly from the face
+    array (no DIA/BSR detection needed): greedily cover the longest
+    prefix of canonically ordered faces with per-offset
+    piecewise-periodic runs; everything after it (MINC
+    fracture-matrix connections with per-parent offsets, boundary
+    ghost faces, irregular connections) becomes the indexed tail.
+
+    This is what makes MINC meshes ride the fast path: the fracture
+    lattice's bands and the matrix-chain bands are (piecewise)
+    periodic, and only the fracture->matrix coupling faces land in
+    the tail (r4: the pure-ELL MINC step ran ~200x slower than the
+    banded flagship)."""
+    a = np.asarray(face_cells[:, 0], np.int64)
+    b = np.asarray(face_cells[:, 1], np.int64)
+    is_ghost = np.asarray(is_ghost)
+    live = ~(is_ghost[a] | is_ghost[b])
+    F = len(a)
+    d = b - a
+    entries = []
+    f = 0
+    used = set()
+    while f < F:
+        if not live[f] or d[f] <= 0:
+            break
+        off = int(d[f])
+        if off in used:
+            break
+        end = f
+        while end < F and live[end] and d[end] == off:
+            end += 1
+        segs = _periodic_segments(a[f:end])
+        if segs is None:
+            break
+        if (end - f) < 8 * len(segs):
+            # unproductive run (e.g. per-parent fracture->matrix
+            # couplings, one face per offset): leave it — and
+            # everything after — to the indexed tail rather than
+            # burning band/segment budget
+            break
+        if len(entries) + len(segs) > MAX_PLAN_SEGMENTS:
+            break  # budget reached: the rest becomes the tail
+        if any(
+            r0 + off + (S - 1) * p + q > num_rows
+            for (S, q, p, r0) in segs
+        ):
+            break  # right side out of range
+        fseg = f
+        for (S, q, p, r0) in segs:
+            entries.append((off, fseg, S, q, p, r0))
+            fseg += S * q
+        used.add(off)
+        f = end
+    if not entries or f < F // 2:
+        return None  # cover too little to be worth a hybrid
+    pad = max(dd + p for (dd, f0, S, q, p, r0) in entries)
+    return FacePlan(entries=tuple(entries), f_live=f, pad=pad)
+
+
+def hybrid_band_structures(
+    fp: FacePlan, num_rows: int, block_size: int
+):
+    """(DIAStructure, BandPlan) synthesized from a direct face plan,
+    for packing the planned-prefix blocks into DIA bands
+    (bands_from_blocks) while tail blocks stay with the caller.
+
+    The returned DIAStructure carries no band_pos gather table (the
+    hybrid path never packs from BSR data); only offsets / num_rows /
+    block_size / padded width are meaningful."""
+    n_pad = -(-num_rows // _TILE) * _TILE
+    while any(
+        max(r0, r0 + d) + S * p > n_pad
+        for (d, f0, S, q, p, r0) in fp.entries
+    ):
+        n_pad += _TILE
+    by_off = {}
+    for e in fp.entries:
+        by_off.setdefault(e[0], []).append(e)
+    offsets = sorted({0} | set(by_off) | {-d for d in by_off})
+    if len(offsets) > MAX_BANDS:
+        return None  # face plan still useful for gathers; no bands
+    entries = []
+    for off in offsets:
+        if off == 0:
+            entries.append(("diag",))
+        elif off > 0:
+            entries.append((
+                "segs",
+                tuple(
+                    (0, f0, S, q, p, r0)
+                    for (d, f0, S, q, p, r0) in by_off[off]
+                ),
+            ))
+        else:
+            entries.append((
+                "segs",
+                tuple(
+                    (1, f0, S, q, p, r0 + d)
+                    for (d, f0, S, q, p, r0) in by_off[-off]
+                ),
+            ))
+    struct = DIAStructure(
+        offsets=tuple(int(d) for d in offsets),
+        band_pos=jnp.zeros((len(offsets), n_pad), jnp.int32),
+        num_rows=num_rows,
+        block_size=block_size,
+    )
+    return struct, BandPlan(entries=tuple(entries))
 
 
 def plan_gather_cells(fp: FacePlan, x: Array, shift_by_d: bool) -> Array:

@@ -109,6 +109,7 @@ class LocalSystem(System):
         # and uses indexed face gathers
         self.band_plan = None
         self.face_plan = None
+        self.hybrid = None
 
     # -- parallel hooks ----------------------------------------------
 

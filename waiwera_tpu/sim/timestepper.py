@@ -151,6 +151,13 @@ class Timestepper:
             update_rtol=float(opt(utol, "relative", 1e-10)),
             update_atol=float(opt(utol, "absolute", 1.0)),
             linear_method=str(opt(lin, "type", "bcgs")).lower(),
+            # default bjacobi, diverging from the reference's
+            # ASM/ILU(0) (timestepper.F90:2019-2022) on measured TPU
+            # data (BENCH r4): the shift-based DILU/ILU(0) analogue
+            # costs ~3x per application and loses iteration quality on
+            # late Newton solves (flagship: 1278 Krylov its / 10.2 s
+            # vs bjacobi 340 its / 1.2 s). "asm"/"ilu" still select
+            # the DILU path when configured explicitly.
             linear_pc=str(
                 opt(lin.get("preconditioner", {}) or {}, "type", "bjacobi")
             ).lower(),

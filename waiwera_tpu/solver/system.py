@@ -114,6 +114,24 @@ class System:
             if self.band_plan is not None
             else None
         )
+        # hybrid DIA + indexed tail: meshes that are banded except for
+        # a face tail (MINC fracture-matrix chains appended to a
+        # rectilinear lattice) keep the slicing fast path for the
+        # planned prefix, with the tail handled by small indexed
+        # gathers in the matvec/scatter helpers
+        self.hybrid = None
+        if self.face_plan is None:
+            fpd = dia.face_plan_direct(
+                face_cells, np.asarray(mesh.is_ghost), mesh.num_cells
+            )
+            if fpd is not None:
+                self.face_plan = fpd
+                # may be None (too many bands): the face plan still
+                # accelerates residual gathers/scatters; the linear
+                # operator then falls back to BSR/ELL
+                self.hybrid = dia.hybrid_band_structures(
+                    fpd, mesh.num_cells, self.npv
+                )
         if self.face_plan is not None:
             fl_ = self.face_plan.f_live
             self._tail_cl = jnp.asarray(face_cells[fl_:, 0], jnp.int32)
@@ -548,21 +566,53 @@ class System:
         from waiwera_tpu.solver import precond as _precond
         from waiwera_tpu.solver.smallblocks import invert_blocks
 
-        if self.dia is None or self.band_plan is None or pc_name == "lu":
+        banded = self.dia is not None and self.band_plan is not None
+        if (not banded and self.hybrid is None) or pc_name == "lu":
             return self.make_linear_operator(
                 self.assemble_bsr(parts), pc_name, dtype=dtype,
                 sweeps=sweeps,
             )
-        from waiwera_tpu.solver.smallblocks import invert_blocks_em
+        from waiwera_tpu.solver.smallblocks import (
+            apply_blocks_em,
+            invert_blocks_em,
+        )
 
         diag2, lr2, rl2 = parts
-        m = dia.bands_from_blocks(
-            self.dia, self.band_plan, diag2, lr2, rl2, dtype
-        )
-        if dia._use_pallas(m.bands.dtype):
-            mv = dia._interleave_bands(m).matvec
+        if banded:
+            m = dia.bands_from_blocks(
+                self.dia, self.band_plan, diag2, lr2, rl2, dtype
+            )
         else:
-            mv = m.matvec
+            synth_dia, synth_plan = self.hybrid
+            m = dia.bands_from_blocks(
+                synth_dia, synth_plan, diag2, lr2, rl2, dtype
+            )
+        if dia._use_pallas(m.bands.dtype):
+            base_mv = dia._interleave_bands(m).matvec
+        else:
+            base_mv = m.matvec
+        if banded or int(self._tail_cl.shape[0]) == 0:
+            mv = base_mv
+        else:
+            # hybrid: tail blocks (MINC chains, irregular faces)
+            # applied as small indexed gathers on top of the band SpMV
+            fl_ = self.face_plan.f_live
+            lr_t = lr2[:, fl_:]
+            rl_t = rl2[:, fl_:]
+            if dtype is not None:
+                lr_t = lr_t.astype(dtype)
+                rl_t = rl_t.astype(dtype)
+            tcl = self._tail_cl
+            tcr = self._tail_cr
+
+            def mv(x):
+                y = base_mv(x)
+                xc = x.astype(lr_t.dtype)
+                return (
+                    y.at[tcl].add(apply_blocks_em(lr_t, xc[tcr]))
+                    .at[tcr].add(apply_blocks_em(rl_t, xc[tcl]))
+                )
+
         if pc_name in ("none",):
             pc = lambda r: r
         elif pc_name in ("bjacobi", "jacobi"):
@@ -571,6 +621,9 @@ class System:
             )
             pc = dia.dia_block_jacobi_em(dinv2, dtype)
         else:  # asm / ilu / dilu / sgs -> shift-based DILU
+            # hybrid: the DILU factorisation ignores the tail blocks
+            # (restricted to the banded part; the tail still enters
+            # the matvec above)
             pc = dia.dia_dilu_em(m, sweeps=sweeps, dtype=dtype)
         return mv, pc
 
