@@ -204,7 +204,10 @@ def measure_bandwidth():
     from jax import lax
 
     n_sub = 8
-    n_lane = 2 * 1024 * 1024  # [8, 2M] f32 = 64 MB
+    # 256 MB per array: must exceed VMEM (128 MB on v5e) so the chain
+    # streams from HBM — a resident 64 MB carry measured VMEM
+    # bandwidth (1.46 TB/s) instead of HBM (~750 GB/s)
+    n_lane = 8 * 1024 * 1024
     interpret = jax.default_backend() != "tpu"
 
     from jax.experimental import pallas as pl
@@ -250,6 +253,11 @@ def main():
     import jax.numpy as jnp
 
     fast = os.environ.get("BENCH_FAST", "") not in ("", "0")
+    t_start = time.time()
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
+
+    def over_budget():
+        return time.time() - t_start > budget
 
     # flagship size with a fallback ladder so the driver always gets a
     # number even on a memory-constrained device
@@ -371,30 +379,43 @@ def main():
         t_lin = max(t_rjl - t_res - t_jac, 0.0)
         result["linear_solve_seconds"] = t_lin
         result["linear_solve_iterations_one"] = lin_its_one
+
+        # phase-transition pass (unscale -> transition -> bounds ->
+        # scale), the post-linesearch fluid_trans stage
+        eos = sim.eos
+        temp0 = fluid0.temperature
+
+        @jax.jit
+        def trans_only(y):
+            old_primary = eos.unscale(y, sim.region0)
+            new_primary, new_region, _, terr = eos.transition(
+                old_primary, old_primary * 1.000001, sim.region0, temp0
+            )
+            new_primary, berr = eos.check_primary_variables(
+                new_primary, new_region
+            )
+            return eos.scale(new_primary, new_region)[:1, :1]
+
+        t_trans = timeit(lambda: trans_only(sim.y0))
+        result["transition_seconds"] = t_trans
+
         # stage sum per the Newton loop: initial residual +
-        # its * (jacobian + post-linesearch recompute) + the linear
-        # solve scaled to the step's total Krylov iterations (later
-        # solves need more iterations than the y0 solve timed above)
+        # its * (jacobian + transitions + post-linesearch recompute)
+        # + the linear solve scaled to the step's total Krylov
+        # iterations (later solves need more than the y0 solve above)
         its = max(iterations, 1)
         lin_per_it = t_lin / max(lin_its_one, 1)
         stage_sum = (
-            t_res + its * (t_jac + t_res) + linear_its * lin_per_it
+            t_res
+            + its * (t_jac + t_trans + t_res)
+            + linear_its * lin_per_it
         )
         result["stage_sum_seconds"] = stage_sum
         result["stage_vs_step"] = stage_sum / step_seconds
     except Exception as e:
         result["stage_error"] = repr(e)
 
-    # ---- preconditioner comparison (bjacobi vs dilu) -----------------
-    if not fast:
-        try:
-            other = "bjacobi" if linear_pc != "bjacobi" else "dilu"
-            step2 = make_step(sim, pc=other)
-            t2, it2, li2 = time_step(sim, step2, reps=2)
-            result[f"step_seconds_{other}"] = t2
-            result[f"linear_iterations_{other}"] = li2
-        except Exception as e:
-            result["pc_compare_error"] = repr(e)
+    print(f"# headline done: {step_seconds:.2f}s/step", flush=True)
 
     # ---- SpMV roofline ----------------------------------------------
     try:
@@ -454,17 +475,33 @@ def main():
             (spmv_bytes / spmv_seconds) / bw if bw else 0.0
         )
         result["measured_bandwidth_gb_s"] = bw / 1e9
+        print("# roofline done", flush=True)
     except Exception as e:
         result["spmv_error"] = repr(e)
 
-    # ---- reduced-size extras: dtype policy, ELL, MINC, CPU ref -------
+    # ---- reduced-size extras: PC/dtype comparisons, ELL, MINC, CPU --
     rx, ry, rz = (48, 32, 32) if n >= 48 * 32 * 32 else (nx, ny, nz)
+    if over_budget():
+        fast = True
+        result["extras_skipped"] = "time budget"
     if not fast:
         try:
             sim_r, n_r = build_sim(rx, ry, rz)
             t_mixed, it_m, li_m = time_step(
                 sim_r, make_step(sim_r, pc=linear_pc), reps=2
             )
+            result["reduced_cells"] = n_r
+            result["reduced_step_seconds"] = t_mixed
+            other = "bjacobi" if linear_pc != "bjacobi" else "dilu"
+            t2, it2, li2 = time_step(
+                sim_r, make_step(sim_r, pc=other), reps=2
+            )
+            result[f"reduced_step_seconds_{other}"] = t2
+            result[f"reduced_linear_iterations_{other}"] = li2
+            result["reduced_linear_iterations"] = li_m
+            print(f"# pc compare done: {linear_pc} {t_mixed:.2f}s "
+                  f"({li_m} its) vs {other} {t2:.2f}s ({li2} its)",
+                  flush=True)
             t_f64, it_6, li_6 = time_step(
                 sim_r,
                 make_step(sim_r, pc=linear_pc, linear_dtype="float64",
@@ -477,11 +514,14 @@ def main():
                 "full_f64_step_seconds": t_f64,
                 "f64_over_mixed": t_f64 / t_mixed,
             }
+            print("# dtype table done", flush=True)
         except Exception as e:
             result["dtype_error"] = repr(e)
 
         # ELL path: permute cells so the DIA detection fails
         try:
+            if over_budget():
+                raise RuntimeError("skipped: time budget")
             from waiwera_tpu.solver import bsr as bsr_mod
             from waiwera_tpu.ops import ell as ops_ell
 
@@ -520,11 +560,14 @@ def main():
 
             per_e = time_fori(make_echain, 3, 13)
             result["ell_spmv_nnz_per_s"] = nnzb_e * npv * npv / per_e
+            print("# ell done", flush=True)
         except Exception as e:
             result["ell_error"] = repr(e)
 
         # MINC-augmented step (dual-porosity production config)
         try:
+            if over_budget():
+                raise RuntimeError("skipped: time budget")
             sim_m, _ = build_sim(rx, ry, rz, minc=True)
             t_minc, it_mm, li_mm = time_step(
                 sim_m, make_step(sim_m, pc=linear_pc), reps=2
@@ -534,14 +577,24 @@ def main():
             result["minc_dof_per_s"] = (
                 sim_m.mesh.num_cells * npv / t_minc
             )
+            sys_m = sim_m.system
             result["minc_spmv_path"] = (
-                "dia" if sim_m.system.dia is not None else "ell"
+                "dia"
+                if sys_m.dia is not None
+                else (
+                    "hybrid-dia"
+                    if getattr(sys_m, "hybrid", None) is not None
+                    else "ell"
+                )
             )
+            print("# minc done", flush=True)
         except Exception as e:
             result["minc_error"] = repr(e)
 
         # CPU reference: scipy spilu + bicgstab on the same Jacobian
         try:
+            if over_budget():
+                raise RuntimeError("skipped: time budget")
             import scipy.sparse as sp
             import scipy.sparse.linalg as spla
 
