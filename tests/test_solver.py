@@ -100,6 +100,68 @@ def test_lgmres():
     assert int(res0.iterations) == int(res_g.iterations)
 
 
+def test_gmres_f32_basis():
+    """f32-stored Arnoldi basis (the large-n memory cap,
+    timestepper.F90:1840-1851 aux KSP analogue) converges to the same
+    solution at the same tolerance as the full-precision basis; H and
+    the updates stay f64."""
+    mat, _ = laplacian_1d(60, b=2)
+    rng = np.random.default_rng(21)
+    xstar = rng.standard_normal((60, 2))
+    b = mat.matvec(jnp.asarray(xstar))
+    res32 = krylov.gmres(
+        mat.matvec, b, rtol=1e-10, restart=20,
+        basis_dtype=jnp.float32,
+    )
+    assert bool(res32.converged)
+    np.testing.assert_allclose(
+        np.asarray(res32.x), xstar, rtol=1e-6, atol=1e-7
+    )
+    resl = krylov.lgmres(
+        b=b, matvec=mat.matvec, rtol=1e-10, restart=10, augment=2,
+        max_restarts=200, basis_dtype=jnp.float32,
+    )
+    assert bool(resl.converged)
+    np.testing.assert_allclose(
+        np.asarray(resl.x), xstar, rtol=1e-6, atol=1e-7
+    )
+
+
+def test_gmres_basis_memory_policy():
+    """The tracer aux solve switches to the f32 basis exactly when the
+    f64 workspace would exceed the byte cap (~1M dofs), and a
+    million-dof diagonal-dominant solve runs through that path."""
+    from waiwera_tpu.sim.tracer import (
+        GMRES_BASIS_BYTES_CAP,
+        gmres_basis_dtype,
+    )
+
+    assert gmres_basis_dtype(10_000, 8) is None
+    assert gmres_basis_dtype(2_000_000, 8) == jnp.float32
+    # boundary: cap is on bytes of the [31, n] basis
+    n_edge = GMRES_BASIS_BYTES_CAP // (31 * 8)
+    assert gmres_basis_dtype(n_edge, 8) is None
+    assert gmres_basis_dtype(n_edge + 1, 8) == jnp.float32
+
+    # 1.05M-dof smoke solve with the f32 basis (the size class where
+    # an f64 basis risked OOM on-device): shifted tridiagonal system,
+    # matvec by jnp.roll — converges and matches the known solution
+    n = 1_050_000
+    rng = np.random.default_rng(5)
+    xstar = jnp.asarray(rng.standard_normal(n))
+
+    def mv(x):
+        return 4.0 * x - jnp.roll(x, 1) - jnp.roll(x, -1)
+
+    b = mv(xstar)
+    res = krylov.gmres(
+        mv, b, rtol=1e-8, restart=30, basis_dtype=jnp.float32
+    )
+    assert bool(res.converged)
+    err = float(jnp.max(jnp.abs(res.x - xstar)))
+    assert err < 1e-5, err
+
+
 def test_lgmres_with_precond():
     mat, _ = laplacian_1d(50, b=3)
     rng = np.random.default_rng(8)
@@ -355,6 +417,48 @@ def test_band_plan_pack_matches_gather():
             np.asarray(pc_b(v)), np.asarray(pc_a(v)),
             rtol=1e-10, atol=1e-10,
         )
+
+
+def test_band_plan_pack_no_padding_slack():
+    """Regression: when the cell count is an exact multiple of the
+    2048-lane tile and there are no boundary ghosts (n == n_pad), the
+    final band segment's q->p zero-padding extends past n_pad; the pack
+    must clamp it instead of crashing with a negative pad
+    (advisor r4 high finding, ops/dia.py bands_from_blocks)."""
+    from waiwera_tpu.mesh.rect import rectangular_mesh
+    from waiwera_tpu.sim.simulation import Simulation
+    from waiwera_tpu.ops import dia
+    from waiwera_tpu.solver.system import MethodCoeffs
+
+    mesh = rectangular_mesh(
+        [10.0] * 16, [10.0] * 16, [5.0] * 8, origin=[0, 0, -40.0]
+    )
+    sim = Simulation(
+        {
+            "eos": {"name": "we"},
+            "initial": {"primary": [2.0e6, 120.0], "region": 1},
+        },
+        mesh=mesh,
+    )
+    system = sim.system
+    assert system.mesh.num_cells == 2048  # == n_pad: zero slack
+    assert system.band_plan is not None
+
+    lhs0, _, _ = sim.lhs_at(sim.y0, sim.region0)
+    coeffs = MethodCoeffs(
+        c_lhs=jnp.asarray(1.0), dt_eff=jnp.asarray(1e4), const=-lhs0
+    )
+    _, _, _, _, parts = system.residual_and_jacobian_parts(
+        sim.y0, sim.region0, sim.rock, coeffs,
+        jnp.asarray(0.0), jnp.asarray(1e4),
+    )
+    mat = system.assemble_bsr(parts)
+    m_gather = dia.to_dia(mat, system.dia)
+    m_plan = dia.bands_from_blocks(system.dia, system.band_plan, *parts)
+    np.testing.assert_allclose(
+        np.asarray(m_plan.bands), np.asarray(m_gather.bands),
+        rtol=0, atol=0,
+    )
 
 
 def test_hybrid_face_plan_minc():

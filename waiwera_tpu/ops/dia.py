@@ -211,7 +211,13 @@ def bands_from_blocks(
         v = src[:, f0 : f0 + S * q].reshape(bb, S, q)
         v = jnp.pad(v, ((0, 0), (0, 0), (0, p - q)))
         v = v.reshape(bb, S * p)
-        return jnp.pad(v, ((0, 0), (r0, n_pad - r0 - S * p)))
+        # The final segment's q->p zero-padding may extend past n_pad
+        # when the padding slack is small (e.g. n == n_pad). Real rows
+        # are always < num_rows <= n_pad, so any overflow columns are
+        # zeros — clamp them off instead of producing a negative pad.
+        width = min(S * p, n_pad - r0)
+        v = v[:, :width]
+        return jnp.pad(v, ((0, 0), (r0, n_pad - r0 - width)))
 
     out = []
     for entry in plan.entries:
@@ -565,6 +571,109 @@ def dia_block_jacobi(dinv: Array, dtype=None):
 
     def apply(r: Array) -> Array:
         return jnp.einsum("nij,nj->ni", dinv, r.astype(dinv.dtype))
+
+    return apply
+
+
+def dia_line_pc_em(m: DIAMatrix, dtype=None, offset: int = None):
+    """Exact block-tridiagonal LINE preconditioner along one band
+    direction (default: the outermost positive band — the z direction
+    in natural rectilinear order): z = M^{-1} r solves
+    (L_p + D + U_p) z = r exactly per line via a batched block Thomas
+    factorisation + substitution (lax.scan over the Z layers,
+    vectorised over the p lines per layer and the b*b block elements).
+
+    Rationale: the reference's default ASM/ILU(0) (timestepper.F90:
+    1743-1835) propagates information across the whole domain per
+    application, which is what keeps BiCGStab iteration counts low; a
+    sequential SpTRSV is TPU-hostile, but the tridiagonal of ONE mesh
+    direction IS solvable exactly with Z scan steps of [b*b, p]
+    batched small ops — and on the flagship the z direction carries
+    the largest transmissibility (k_z A_z / d_z) plus the gravity
+    equilibration, so capturing it exactly attacks the dominant error
+    modes. Returns None when the band set has no symmetric +-offset
+    pair to build lines from.
+    """
+    from waiwera_tpu.solver.smallblocks import (
+        apply_blocks_em,
+        invert_blocks_em,
+        matmul_em,
+    )
+
+    offs = [int(d) for d in m.offsets]
+    pos = [d for d in offs if d > 0 and -d in offs]
+    if not pos:
+        return None
+    p = max(pos) if offset is None else int(offset)
+    if p not in offs or -p not in offs:
+        return None
+    b = m.block_size
+    bb = b * b
+    n = m.num_rows
+    Z = -(-n // p)
+    npad = Z * p
+
+    def pad3(x2, fill_eye=False):
+        x2 = x2[:, :n]
+        pad = npad - n
+        if pad:
+            if fill_eye:
+                eye = jnp.eye(b, dtype=x2.dtype).reshape(bb, 1)
+                x2 = jnp.concatenate(
+                    [x2, jnp.tile(eye, (1, pad))], axis=1
+                )
+            else:
+                x2 = jnp.pad(x2, ((0, 0), (0, pad)))
+        return x2.reshape(bb, Z, p).transpose(1, 0, 2)  # [Z, bb, p]
+
+    d3 = pad3(m.bands[offs.index(0)], fill_eye=True)
+    up3 = pad3(m.bands[offs.index(p)])  # A[(z,l),(z+1,l)] at layer z
+    lo3 = pad3(m.bands[offs.index(-p)])  # A[(z,l),(z-1,l)] at layer z
+
+    # block Thomas factorisation: W_z = (d_z - lo_z W_{z-1} up_{z-1})^-1
+    up_prev = jnp.concatenate([jnp.zeros_like(up3[:1]), up3[:-1]], 0)
+
+    def fac(W_prev, x):
+        d_z, lo_z, upp = x
+        dmod = d_z - matmul_em(matmul_em(lo_z, W_prev), upp)
+        W = invert_blocks_em(dmod)
+        return W, W
+
+    _, W3 = jax.lax.scan(
+        fac, jnp.zeros((bb, p), d3.dtype), (d3, lo3, up_prev)
+    )  # [Z, bb, p]
+
+    if dtype is not None:
+        W3 = W3.astype(dtype)
+        lo3 = lo3.astype(dtype)
+        up3 = up3.astype(dtype)
+
+    def apply(r: Array) -> Array:
+        rp = r.astype(W3.dtype)
+        rp = jnp.pad(rp, ((0, npad - n), (0, 0)))
+        r3 = rp.reshape(Z, p, b)
+
+        # forward: y_z = W_z (r_z - lo_z y_{z-1})
+        def fwd(y_prev, x):
+            W, lo, rz = x
+            y = apply_blocks_em(W, rz - apply_blocks_em(lo, y_prev))
+            return y, y
+
+        _, y3 = jax.lax.scan(
+            fwd, jnp.zeros((p, b), W3.dtype), (W3, lo3, r3)
+        )
+
+        # backward: x_z = y_z - W_z up_z x_{z+1}
+        def bwd(x_next, x):
+            W, up, yz = x
+            xz = yz - apply_blocks_em(W, apply_blocks_em(up, x_next))
+            return xz, xz
+
+        _, x3 = jax.lax.scan(
+            bwd, jnp.zeros((p, b), W3.dtype), (W3, up3, y3),
+            reverse=True,
+        )
+        return x3.reshape(npad, b)[:n]
 
     return apply
 

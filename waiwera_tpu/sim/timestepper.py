@@ -586,7 +586,12 @@ class Timestepper:
         flow_simulation.F90:2989 MatView analogue). Written as an npz
         of the BSR arrays at the current solution, in natural cell
         order; load with numpy/scipy (sp.bsr_matrix((data, indices,
-        indptr)))."""
+        indptr))).
+
+        Note: the dump is always the BACKWARD-EULER Jacobian at the
+        final (y, dt) — under BDF2/directss it is a diagnostic
+        re-linearisation, not the exact matrix the solver last used
+        (the BDF2 history weights differ by O(1) on the LHS term)."""
         if self.jacobian_filename is None or dt <= 0.0:
             return
         from waiwera_tpu.solver.system import method_coeffs

@@ -38,6 +38,23 @@ from waiwera_tpu.utils.interpolation import InterpolationTable, from_json \
 
 Array = jnp.ndarray
 
+# GMRES basis memory cap for the aux solve: the Arnoldi workspace is
+# [restart+1, N*nt] values; above this many BYTES in the solve dtype
+# (~256 MB, reached near 1M dofs in f64) the basis is stored in f32 —
+# H/updates stay f64, the Jacobi-preconditioned aux solve converges
+# identically at rtol 1e-5, and a large-mesh tracer model no longer
+# risks OOM (timestepper.F90:1840-1851 aux KSP analogue).
+GMRES_BASIS_BYTES_CAP = 2**28
+_GMRES_RESTART = 30
+
+
+def gmres_basis_dtype(num_dofs: int, itemsize: int):
+    """float32 when the full-precision Arnoldi basis would exceed the
+    byte cap, else None (= solve dtype)."""
+    if num_dofs * (_GMRES_RESTART + 1) * itemsize > GMRES_BASIS_BYTES_CAP:
+        return jnp.float32
+    return None
+
 GAS_CONSTANT = 8.3144598  # J/mol/K (thermodynamics.F90:37-41)
 TC_K = 273.15
 
@@ -150,10 +167,15 @@ def solve(
     # System detected the periodic face structure (indexed gathers run
     # far below HBM bandwidth on TPU and would dominate the aux
     # matvec, which runs once per Krylov iteration)
-    if system is not None and getattr(system, "face_plan", None) is not None:
-        gather_l = lambda a: system._face_gather_leaf(a, False)
-        gather_r = lambda a: system._face_gather_leaf(a, True)
-        scatter2 = lambda va, vb: system.scatter_face_sides(va, vb, mesh)
+    if (
+        system is not None
+        and getattr(system, "face_plan", None) is not None
+        and mesh is system.mesh  # the plan was built for system.mesh;
+        # a differently-ordered mesh must take the indexed fallback
+    ):
+        gather_l = lambda a: system.gather_face(a, right=False)
+        gather_r = lambda a: system.gather_face(a, right=True)
+        scatter2 = lambda va, vb: system.scatter_face_sides(va, vb)
     else:
         gather_l = lambda a: a[cl]
         gather_r = lambda a: a[cr]
@@ -243,6 +265,9 @@ def solve(
     inv_diag = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 1.0)
 
     kw = {} if reduce_sum is None else {"reduce_sum": reduce_sum}
+    bd = gmres_basis_dtype(b.size, np.dtype(b.dtype).itemsize)
+    if bd is not None:
+        kw["basis_dtype"] = bd
     res = krylov.solve(
         "gmres",
         a_matvec,

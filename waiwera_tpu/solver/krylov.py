@@ -114,6 +114,7 @@ def gmres(
     restart: int = 30,
     max_restarts: int = 40,
     reduce_sum: Callable[[Array], Array] = _identity,
+    basis_dtype=None,
 ) -> KrylovResult:
     """Right-preconditioned restarted GMRES(m).
 
@@ -121,9 +122,18 @@ def gmres(
     vectorised over the basis, which maps to batched matmuls on TPU
     rather than a sequential MGS scan. reduce_sum as in bicgstab: all
     basis contractions are local matmuls + one cross-device reduction.
+
+    basis_dtype: storage dtype for the Arnoldi basis V [m+1, n] — the
+    solver's dominant workspace (restart 30 at n=4.7M dofs is ~1.2 GB
+    in f64). float32 halves it while H, the Givens least-squares and
+    all solution updates stay in b.dtype (the basis is only a set of
+    directions; rounding them costs a little orthogonality, not
+    solution accuracy). The reference's aux/tracer GMRES runs this way
+    at scale (timestepper.F90:1840-1851 analogue).
     """
     if precond is None:
         precond = lambda v: v
+    v_dtype = b.dtype if basis_dtype is None else jnp.dtype(basis_dtype)
 
     def _dot(a: Array, b_: Array) -> Array:
         return reduce_sum(jnp.vdot(a, b_))
@@ -148,16 +158,21 @@ def gmres(
         r = b - matvec(x)
         beta = _norm(r)
 
-        V = jnp.zeros((m + 1, n), b.dtype)
+        V = jnp.zeros((m + 1, n), v_dtype)
         H = jnp.zeros((m + 1, m), b.dtype)
-        V = V.at[0].set(flat(r) / jnp.where(beta != 0, beta, tiny))
+        V = V.at[0].set(
+            (flat(r) / jnp.where(beta != 0, beta, tiny)).astype(v_dtype)
+        )
 
         def body(j, carry):
             V, H, brk = carry
-            v_j = unflat(V[j])
+            v_j = unflat(V[j]).astype(b.dtype)
             w = flat(matvec(precond(v_j)))
             # CGS2 against the full basis (rows > j are zero);
-            # V @ w is a local contraction, reduced across devices
+            # V @ w is a local contraction, reduced across devices.
+            # Mixed-dtype contractions promote to b.dtype, so H and
+            # the correction arithmetic keep full precision even with
+            # an f32-stored basis.
             h1 = reduce_sum(V @ w)  # [m+1]
             w = w - V.T @ h1
             h2 = reduce_sum(V @ w)
@@ -167,7 +182,9 @@ def gmres(
             H_new = H.at[:, j].set(h)
             H_new = H_new.at[j + 1, j].set(wnorm)
             V_new = V.at[j + 1].set(
-                w / jnp.where(wnorm > tiny, wnorm, 1.0)
+                (w / jnp.where(wnorm > tiny, wnorm, 1.0)).astype(
+                    v_dtype
+                )
             )
             return (V_new, H_new, brk | (wnorm <= tiny))
 
@@ -183,8 +200,12 @@ def gmres(
         x_new = x + precond(unflat(dx))
         # true inner-iteration count: the GMRES residual after j+1
         # Arnoldi steps is res_profile[j] (monotone), so the final
-        # partial cycle counts only the steps it needed (PETSc
-        # KSPGetIterationNumber semantics)
+        # partial cycle counts only the steps it needed. Note this
+        # profile is the RIGHT-PRECONDITIONED least-squares residual
+        # while the outer test uses the unpreconditioned norm, so the
+        # count can differ slightly from PETSc KSPGetIterationNumber
+        # (right preconditioning leaves the two equal in exact
+        # arithmetic; CGS2 round-off makes them near-equal in practice)
         inner = jnp.minimum(
             jnp.sum(res_profile > tol).astype(jnp.int32) + 1, m
         )
@@ -223,10 +244,14 @@ def lgmres(
     augment: int = 2,
     max_restarts: int = 40,
     reduce_sum: Callable[[Array], Array] = _identity,
+    basis_dtype=None,
 ) -> KrylovResult:
     """Loose GMRES (Baker, Jessup & Manteuffel 2005), the PETSc
     KSPLGMRES the reference selects with linear type "lgmres"
     (timestepper.F90:1731-1734).
+
+    basis_dtype: storage dtype for the V/Q workspaces (see gmres) —
+    2*(m+1)*n values, the memory hot spot at large n.
 
     Each cycle's subspace is `restart - augment` Arnoldi vectors plus
     the `augment` most recent approximate error vectors z_i = x_{i} -
@@ -244,6 +269,7 @@ def lgmres(
     m_a = m - k_aug  # Arnoldi depth per cycle
     if m_a < 1:
         raise ValueError("lgmres restart must exceed augment")
+    v_dtype = b.dtype if basis_dtype is None else jnp.dtype(basis_dtype)
 
     def _dot(a: Array, b_: Array) -> Array:
         return reduce_sum(jnp.vdot(a, b_))
@@ -270,14 +296,16 @@ def lgmres(
         r = b - matvec(x)
         beta = _norm(r)
 
-        V = jnp.zeros((m + 1, n), b.dtype)
+        V = jnp.zeros((m + 1, n), v_dtype)
         H = jnp.zeros((m + 1, m), b.dtype)
-        Q = jnp.zeros((m, n), b.dtype)  # actual direction vectors
-        V = V.at[0].set(flat(r) / jnp.where(beta != 0, beta, tiny))
+        Q = jnp.zeros((m, n), v_dtype)  # actual direction vectors
+        V = V.at[0].set(
+            (flat(r) / jnp.where(beta != 0, beta, tiny)).astype(v_dtype)
+        )
 
         def body(j, carry):
             V, H, Q, brk = carry
-            v_j = unflat(V[j])
+            v_j = unflat(V[j]).astype(b.dtype)
             q = flat(precond(v_j))
             if k_aug > 0:
                 zi = j - m_a
@@ -477,6 +505,9 @@ def solve(
 ) -> KrylovResult:
     """KSP-style dispatch by the reference's JSON linear-solver names
     (timestepper.F90:1725-1739)."""
+    if method in ("bcgs", "bicgstab", "bcgsl", "bicgstabl"):
+        # short-recurrence methods carry no large basis
+        kw.pop("basis_dtype", None)
     if method in ("bcgs", "bicgstab"):
         return bicgstab(
             matvec, b, precond=precond, rtol=rtol,

@@ -153,6 +153,16 @@ class System:
             return jnp.concatenate([head, a[tail_idx]], axis=0)
         return head
 
+    def gather_face(self, a, right: bool = False):
+        """Public per-leaf face gather on this System's own mesh:
+        [N, ...] cell values -> [F, ...] left- (cl) or right-side (cr)
+        face values, plan-based when the periodic face structure was
+        detected (indexed fallback otherwise)."""
+        if self.face_plan is None:
+            idx = self.mesh.face_cells[:, 1 if right else 0]
+            return a[idx]
+        return self._face_gather_leaf(a, right)
+
     def gather_face_sides(self, tree):
         """(left, right) per-face pytrees of a cell-state pytree."""
         if self.face_plan is None:
@@ -314,6 +324,11 @@ class System:
                 pc = dia.dia_block_jacobi(dinv, dtype)
             elif pc_name in ("lu",):
                 pc = _precond.lu(mat, dtype=dtype)
+            elif pc_name in ("line", "zline"):
+                pc = dia.dia_line_pc_em(m64, dtype=dtype)
+                if pc is None:  # no +-offset pair: fall back
+                    dinv = invert_blocks(dia.diag_band_blocks(m64))
+                    pc = dia.dia_block_jacobi(dinv, dtype)
             else:  # asm / ilu / dilu / sgs -> shift-based DILU
                 pc = dia.dia_dilu(
                     m64, invert_blocks, sweeps=sweeps, dtype=dtype
@@ -321,7 +336,8 @@ class System:
             return m.matvec, pc
         mv = ell.to_ell(mat, self.ell, dtype).matvec
         pc = _precond.make_preconditioner(
-            pc_name, mat, sweeps=sweeps, dtype=dtype
+            "bjacobi" if pc_name in ("line", "zline") else pc_name,
+            mat, sweeps=sweeps, dtype=dtype,
         )
         return mv, pc
 
@@ -578,15 +594,24 @@ class System:
         )
 
         diag2, lr2, rl2 = parts
+        # Pack in the parts' own dtype (f64 on the f64-Jacobian path)
+        # so preconditioner FACTORISATIONS see full precision; only the
+        # per-iteration APPLICATION runs in the reduced dtype — the
+        # make_linear_operator contract (advisor r4 finding).
         if banded:
-            m = dia.bands_from_blocks(
-                self.dia, self.band_plan, diag2, lr2, rl2, dtype
+            m64 = dia.bands_from_blocks(
+                self.dia, self.band_plan, diag2, lr2, rl2, None
             )
         else:
             synth_dia, synth_plan = self.hybrid
-            m = dia.bands_from_blocks(
-                synth_dia, synth_plan, diag2, lr2, rl2, dtype
+            m64 = dia.bands_from_blocks(
+                synth_dia, synth_plan, diag2, lr2, rl2, None
             )
+        m = (
+            m64
+            if dtype is None or m64.bands.dtype == dtype
+            else m64._replace(bands=m64.bands.astype(dtype))
+        )
         if dia._use_pallas(m.bands.dtype):
             base_mv = dia._interleave_bands(m).matvec
         else:
@@ -616,15 +641,21 @@ class System:
         if pc_name in ("none",):
             pc = lambda r: r
         elif pc_name in ("bjacobi", "jacobi"):
-            dinv2 = invert_blocks_em(
-                diag2 if dtype is None else diag2.astype(dtype)
-            )
+            # invert in the parts' dtype (f64); cast the factors only
+            dinv2 = invert_blocks_em(diag2)
             pc = dia.dia_block_jacobi_em(dinv2, dtype)
+        elif pc_name in ("line", "zline"):
+            # exact block-tridiagonal solve along the outermost band
+            # (z lines): batched Thomas scans, factored in f64
+            pc = dia.dia_line_pc_em(m64, dtype=dtype)
+            if pc is None:
+                dinv2 = invert_blocks_em(diag2)
+                pc = dia.dia_block_jacobi_em(dinv2, dtype)
         else:  # asm / ilu / dilu / sgs -> shift-based DILU
             # hybrid: the DILU factorisation ignores the tail blocks
             # (restricted to the banded part; the tail still enters
-            # the matvec above)
-            pc = dia.dia_dilu_em(m, sweeps=sweeps, dtype=dtype)
+            # the matvec above). Factor from the full-precision bands.
+            pc = dia.dia_dilu_em(m64, sweeps=sweeps, dtype=dtype)
         return mv, pc
 
     def _mesh_cast(self, dtype):
