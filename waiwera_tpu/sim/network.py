@@ -79,6 +79,37 @@ def _scalar_or_table(value, spec, default):
     return 0.0, table_from_json(value, spec)
 
 
+def _flash_stage(h, hw_ref, hs_ref):
+    """One separator flash stage (separator.F90:141-166): steam
+    fraction from the inflow enthalpy against the stage's saturated
+    water/steam reference enthalpies, plus the stage's outflow
+    water/steam enthalpies. Shared by the scalar per-node separator
+    (_Separator.separate) and the stacked per-source vectorised path
+    (SourceNetwork._separated)."""
+    sf = jnp.where(
+        h <= hw_ref,
+        0.0,
+        jnp.where(
+            h <= hs_ref,
+            (h - hw_ref)
+            / jnp.where(hs_ref > hw_ref, hs_ref - hw_ref, 1.0),
+            1.0,
+        ),
+    )
+    hs = jnp.where(h <= hw_ref, 0.0, jnp.where(h <= hs_ref, hs_ref, h))
+    hw = jnp.where(h <= hw_ref, h, jnp.where(h <= hs_ref, hw_ref, 0.0))
+    return sf, hw, hs
+
+
+def _flash_out_enthalpy(steam_mass, steam_energy):
+    """Mass-weighted steam enthalpy over accumulated stages, zero for
+    negligible rates (separator.F90:215-260)."""
+    nz = jnp.abs(steam_mass) > RATE_TOL
+    return jnp.where(
+        nz, steam_energy / jnp.where(nz, steam_mass, 1.0), 0.0
+    )
+
+
 @dataclass
 class _Separator:
     """Host-side separator stage data (pressures + reference
@@ -116,27 +147,15 @@ class _Separator:
         steam_mass = jnp.zeros_like(q)
         steam_energy = jnp.zeros_like(q)
         for hw_ref, hs_ref in zip(self.ref_water_h, self.ref_steam_h):
-            sf = jnp.where(
-                h <= hw_ref,
-                0.0,
-                jnp.where(
-                    h <= hs_ref,
-                    (h - hw_ref) / (hs_ref - hw_ref),
-                    1.0,
-                ),
-            )
-            hs = jnp.where(h <= hw_ref, 0.0, jnp.where(h <= hs_ref, hs_ref, h))
-            hw = jnp.where(h <= hw_ref, h, jnp.where(h <= hs_ref, hw_ref, 0.0))
+            sf, hw, hs = _flash_stage(h, hw_ref, hs_ref)
             qs = sf * q
             steam_mass = steam_mass + qs
             steam_energy = steam_energy + qs * hs
             q = (1.0 - sf) * q
             h = hw
-        hs_out = jnp.where(
-            jnp.abs(steam_mass) > RATE_TOL, steam_energy
-            / jnp.where(jnp.abs(steam_mass) > RATE_TOL, steam_mass, 1.0), 0.0
+        return q, h, steam_mass, _flash_out_enthalpy(
+            steam_mass, steam_energy
         )
-        return q, h, steam_mass, hs_out
 
 
 @dataclass

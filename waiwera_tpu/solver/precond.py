@@ -215,6 +215,10 @@ def make_preconditioner(
         return lambda r: r
     if name in ("bjacobi", "jacobi"):
         return block_jacobi(matrix, dtype=dtype)
+    if name in ("line", "zline"):
+        # line solves need the banded layout (ops.dia.dia_line_pc_em);
+        # on unstructured BSR fall back to block-Jacobi
+        return block_jacobi(matrix, dtype=dtype)
     if name in ("lu",):
         return lu(matrix, dtype=dtype)
     if name in ("asm", "ilu", "dilu", "sgs"):
