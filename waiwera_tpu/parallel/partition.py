@@ -30,10 +30,17 @@ class PartitionPlan(NamedTuple):
     # local slot -> global cell (pad slots point at cell 0, masked out)
     local_cells: np.ndarray  # [D, n_local] int32
     owned_mask: np.ndarray  # [D, n_local] bool
-    # faces replicated per device, local endpoint indices
+    # faces replicated per device, local endpoint indices. Faces are
+    # stored in per-device canonical orientation (local cell_l <
+    # cell_r for owned-owned faces; the flux kernel is exactly
+    # invariant when the per-side distances swap and the signed
+    # gravity normal negates — mesh.device mesh_arrays does the same
+    # globally). face_flip marks faces whose host orientation was
+    # swapped (geometry slicing + flux output sign).
     face_ids: np.ndarray  # [D, f_local] int32 global face ids
     face_cells_local: np.ndarray  # [D, f_local, 2] int32
     face_mask: np.ndarray  # [D, f_local] bool
+    face_flip: np.ndarray  # [D, f_local] bool
     # halo exchange: pack owned slots send_idx into a send buffer,
     # all_gather over devices, then pull recv_src out of the flat
     # [D * S] gathered buffer into the halo slots [n_owned_pad:].
@@ -139,6 +146,53 @@ def _rcb(
     )
 
 
+def _canonical_face_order(a_l, b_l, gh, owned_both):
+    """Canonical per-device face order: owned-owned non-ghost faces
+    with positive local offset first, grouped by (offset, row) — the
+    order face_plan_direct detects as periodic slices. Cross-device,
+    ghost and pad faces form the indexed tail."""
+    banded = owned_both & ~gh & (b_l > a_l)
+    off = np.where(banded, b_l - a_l, 0)
+    return np.lexsort((a_l, off, ~banded))
+
+
+def _has_common_plan(
+    locals_, halos, faces, face_cells, is_ghost, part,
+    n_owned_pad, n_local, num_devices,
+):
+    """Probe: does the natural local ordering admit ONE periodic face
+    plan shared by every device? (Host-side; mirrors the detection in
+    parallel.spmd so the two always agree.)"""
+    from waiwera_tpu.ops import dia as ops_dia
+
+    n = len(part)
+    f_local = max((len(f) for f in faces), default=0) or 1
+    common = None
+    for d in range(num_devices):
+        own, halo, fsel = locals_[d], halos[d], faces[d]
+        g2l = np.full(n, -1, np.int64)
+        g2l[own] = np.arange(len(own))
+        g2l[halo] = n_owned_pad + np.arange(len(halo))
+        fc_d = face_cells[fsel]
+        a_l = g2l[fc_d[:, 0]]
+        b_l = g2l[fc_d[:, 1]]
+        a_l, b_l = np.minimum(a_l, b_l), np.maximum(a_l, b_l)
+        gh = is_ghost[fc_d[:, 0]] | is_ghost[fc_d[:, 1]]
+        owned_both = (part[fc_d[:, 0]] == d) & (part[fc_d[:, 1]] == d)
+        order = _canonical_face_order(a_l, b_l, gh, owned_both)
+        fcl = np.zeros((f_local, 2), np.int64)
+        fcl[: len(fsel), 0] = a_l[order]
+        fcl[: len(fsel), 1] = b_l[order]
+        ghost_like = np.zeros(n_local, bool)
+        ghost_like[: len(own)] = is_ghost[own]
+        ghost_like[n_owned_pad:] = True  # halo slots out of the bands
+        fp = ops_dia.face_plan_direct(fcl, ghost_like, n_local)
+        if fp is None or (common is not None and fp != common):
+            return False
+        common = fp
+    return common is not None
+
+
 def build_partition(mesh: Mesh, num_devices: int) -> PartitionPlan:
     n = mesh.num_cells
     face_cells = np.asarray(mesh.face_cells, np.int64)
@@ -228,7 +282,7 @@ def build_partition(mesh: Mesh, num_devices: int) -> PartitionPlan:
 
     locals_, halos, faces = [], [], []
     for d in range(num_devices):
-        own = _local_rcm(np.nonzero(part == d)[0], face_cells, n)
+        own = np.nonzero(part == d)[0]
         fsel = np.nonzero((part_l == d) | (part_r == d))[0]
         ends = np.unique(face_cells[fsel].ravel())
         halo = ends[part[ends] != d]
@@ -244,11 +298,26 @@ def build_partition(mesh: Mesh, num_devices: int) -> PartitionPlan:
     f_local = max(f_local, 1)
     n_local = n_owned_pad + n_halo
 
+    # Local ordering: keep the NATURAL (ascending-global) ordering when
+    # it admits a device-uniform periodic face plan — that lights up
+    # the gather-free banded Jacobian path under shard_map (uniform
+    # partitions of rectilinear meshes; spmd.py detection). Otherwise
+    # apply per-device RCM, which helps the DILU sweeps on
+    # unstructured partitions but generally breaks plan uniformity.
+    if not _has_common_plan(
+        locals_, halos, faces, face_cells, is_ghost, part,
+        n_owned_pad, n_local, num_devices,
+    ):
+        locals_ = [
+            _local_rcm(own, face_cells, n) for own in locals_
+        ]
+
     local_cells = np.zeros((num_devices, n_local), np.int64)
     owned_mask = np.zeros((num_devices, n_local), bool)
     face_ids = np.zeros((num_devices, f_local), np.int64)
     face_cells_local = np.zeros((num_devices, f_local, 2), np.int64)
     face_mask = np.zeros((num_devices, f_local), bool)
+    face_flip = np.zeros((num_devices, f_local), bool)
     cell_device = np.zeros(n, np.int64)
     cell_slot = np.zeros(n, np.int64)
 
@@ -262,9 +331,26 @@ def build_partition(mesh: Mesh, num_devices: int) -> PartitionPlan:
         g2l[d, halo] = n_owned_pad + np.arange(len(halo))
         cell_device[own] = d
         cell_slot[own] = np.arange(len(own))
+        # canonical orientation (local ascending) + canonical face
+        # order (see _canonical_face_order): on uniform partitions of
+        # rectilinear meshes every device then shares ONE static plan,
+        # lighting up the gather-free banded Jacobian/face path under
+        # shard_map (the per-rank BAIJ efficiency of the reference,
+        # ode.F90:266-287)
+        fc_d = face_cells[fsel]
+        a_l = g2l[d][fc_d[:, 0]]
+        b_l = g2l[d][fc_d[:, 1]]
+        flip = a_l > b_l
+        a_l, b_l = np.minimum(a_l, b_l), np.maximum(a_l, b_l)
+        gh = is_ghost[fc_d[:, 0]] | is_ghost[fc_d[:, 1]]
+        owned_both = (part[fc_d[:, 0]] == d) & (part[fc_d[:, 1]] == d)
+        order = _canonical_face_order(a_l, b_l, gh, owned_both)
+        fsel = fsel[order]
         face_ids[d, : len(fsel)] = fsel
-        face_cells_local[d, : len(fsel)] = g2l[d][face_cells[fsel]]
+        face_cells_local[d, : len(fsel), 0] = a_l[order]
+        face_cells_local[d, : len(fsel), 1] = b_l[order]
         face_mask[d, : len(fsel)] = True
+        face_flip[d, : len(fsel)] = flip[order]
         # pad faces point at slot 0 on both ends (zero-area, masked)
         face_cells_local[d, len(fsel) :] = 0
 
@@ -337,6 +423,7 @@ def build_partition(mesh: Mesh, num_devices: int) -> PartitionPlan:
         face_ids=face_ids.astype(np.int32),
         face_cells_local=face_cells_local.astype(np.int32),
         face_mask=face_mask,
+        face_flip=face_flip,
         send_idx=send_idx.astype(np.int32),
         recv_src=recv_src.astype(np.int32),
         n_owned_pad=n_owned_pad,

@@ -77,6 +77,10 @@ class LocalSystem(System):
         p2p_perms=None,
         p2p_send: Optional[Array] = None,
         p2p_recv: Optional[Array] = None,
+        face_plan=None,
+        hybrid=None,
+        tail_cl: Optional[Array] = None,
+        tail_cr: Optional[Array] = None,
     ):
         # no super().__init__: structure is prebuilt per device on host
         self.eos = eos
@@ -102,14 +106,19 @@ class LocalSystem(System):
         self.p2p_perms = p2p_perms
         self.p2p_send = p2p_send
         self.p2p_recv = p2p_recv
-        # gather-free band packing / face plans: local DIA bands cover
-        # owned-owned couplings of the RCM-ordered local block; the
-        # periodic-slice plan rarely holds there, so the distributed
-        # path assembles BSR (linear_operator_from_parts falls back)
-        # and uses indexed face gathers
+        # gather-free band packing / face plans: when every device's
+        # canonically-ordered faces yield the SAME periodic-slice plan
+        # (DistributedSystem detection), the banded-prefix pack and
+        # plan-based face gathers run under shard_map exactly as on a
+        # single device — the per-rank BAIJ efficiency of the
+        # reference (ode.F90:266-287). Irregular partitions leave
+        # these None and fall back to assemble_bsr + indexed gathers.
         self.band_plan = None
-        self.face_plan = None
-        self.hybrid = None
+        self.face_plan = face_plan
+        self.hybrid = hybrid
+        if face_plan is not None:
+            self._tail_cl = tail_cl
+            self._tail_cr = tail_cr
 
     # -- parallel hooks ----------------------------------------------
 
@@ -276,9 +285,71 @@ class LocalSystem(System):
     def linear_operator_from_parts(
         self, parts, pc_name, dtype=None, sweeps=3
     ):
-        return self.make_linear_operator(
-            self.assemble_bsr(parts), pc_name, dtype=dtype, sweeps=sweeps
+        """Distributed gather-free fast path: with a common face plan,
+        the owned-owned Jacobian blocks pack straight into DIA bands by
+        reshape/pad and the matvec is band-shifts + a thin indexed tail
+        (cross-device halo edges, ghost faces). The halo exchange has
+        no data dependency on the band SpMV, so XLA overlaps them
+        (SURVEY §7.5-6). Falls back to assemble_bsr otherwise."""
+        if self.hybrid is None or self.face_plan is None or pc_name == "lu":
+            return self.make_linear_operator(
+                self.assemble_bsr(parts), pc_name,
+                dtype=dtype, sweeps=sweeps,
+            )
+        from waiwera_tpu.ops import dia as ops_dia
+        from waiwera_tpu.solver.smallblocks import (
+            apply_blocks_em,
+            invert_blocks_em,
         )
+
+        diag2, lr2, rl2 = parts
+        synth_dia, synth_plan = self.hybrid
+        # pack in the parts' dtype (f64): factorisations see full
+        # precision, applications run in `dtype`
+        m64 = ops_dia.bands_from_blocks(
+            synth_dia, synth_plan, diag2, lr2, rl2, None
+        )
+        m = (
+            m64
+            if dtype is None or m64.bands.dtype == dtype
+            else m64._replace(bands=m64.bands.astype(dtype))
+        )
+        if ops_dia._use_pallas(m.bands.dtype):
+            base_mv = ops_dia._interleave_bands(m).matvec
+        else:
+            base_mv = m.matvec
+        fl_ = self.face_plan.f_live
+        lr_t = lr2[:, fl_:]
+        rl_t = rl2[:, fl_:]
+        if dtype is not None:
+            lr_t = lr_t.astype(dtype)
+            rl_t = rl_t.astype(dtype)
+        tcl = self._tail_cl
+        tcr = self._tail_cr
+
+        def mv(x):
+            # bands cover only owned-owned couplings, so the band SpMV
+            # consumes the UNSYNCED x while the ppermute rounds run;
+            # only the tail correction waits for the exchange
+            xs = self.sync(x)
+            y = base_mv(x)
+            xc = xs.astype(lr_t.dtype)
+            y = (
+                y.at[tcl].add(apply_blocks_em(lr_t, xc[tcr]))
+                .at[tcr].add(apply_blocks_em(rl_t, xc[tcl]))
+            )
+            return jnp.where(self.owned[:, None], y, 0.0)
+
+        if pc_name in ("none",):
+            pc = lambda r: r
+        elif pc_name in ("bjacobi", "jacobi"):
+            dinv2 = invert_blocks_em(diag2)
+            pc = ops_dia.dia_block_jacobi_em(dinv2, dtype)
+        else:  # asm / ilu / dilu / sgs -> local DILU == restricted
+            # additive Schwarz with the overlap-1 halos (identity halo
+            # rows from _fix_parts keep the factorisation well-defined)
+            pc = ops_dia.dia_dilu_em(m64, sweeps=sweeps, dtype=dtype)
+        return mv, pc
 
 
 class _LocalSources:
@@ -358,12 +429,18 @@ class DistributedSystem:
         # --- stacked local mesh arrays [D, ...] ----------------------
         fid = plan.face_ids
         fmask = plan.face_mask
+        fflip = plan.face_flip
         area = np.asarray(mesh.face_area)[fid] * fmask
         dist = np.asarray(mesh.face_distance)[fid]
         dist12 = np.where(fmask, np.asarray(mesh.face_distance12)[fid], 1.0)
         dist = np.where(fmask[..., None], dist, 0.5)
         gnorm = np.asarray(mesh.face_gravity_normal)[fid] * fmask
         pdir = np.asarray(mesh.face_permeability_direction)[fid] * fmask
+        # canonical per-device orientation (partition.py face_flip):
+        # swap per-side distances + negate the signed gravity normal —
+        # the flux kernel is exactly invariant (mesh.device)
+        dist = np.where(fflip[..., None], dist[..., ::-1], dist)
+        gnorm = np.where(fflip, -gnorm, gnorm)
         lc = plan.local_cells
         vol = np.asarray(mesh.cell_volume)[lc]
         ghost = np.asarray(mesh.is_ghost)[lc]
@@ -528,6 +605,49 @@ class DistributedSystem:
         else:
             self._dia_offsets = None
 
+        # --- gather-free band/face plan (distributed fast path) ------
+        # build_partition orders each device's faces canonically
+        # (banded owned-owned prefix, indexed tail); when every device
+        # yields the SAME periodic-slice plan — uniform partitions of
+        # rectilinear meshes, the production geometry — the plan is a
+        # static constant under shard_map and the local Jacobian packs
+        # into DIA bands by reshape/pad with NO BSR scatter+gather
+        # round-trip, matching the single-device fast path (r4: that
+        # round-trip cost ~1.5 s/Newton iteration at 512k cells).
+        # Halo-like slots are passed as "ghost" so owned->halo
+        # couplings stay OUT of the bands: the band SpMV then has no
+        # dependency on the halo exchange (overlap preserved).
+        from waiwera_tpu.ops import dia as ops_dia
+
+        halo_like = np.zeros(plan.n_local, bool)
+        halo_like[plan.n_owned_pad :] = True
+        fplans = []
+        for d in range(D):
+            fp = ops_dia.face_plan_direct(
+                plan.face_cells_local[d],
+                ghost_loc[d] | halo_like,
+                plan.n_local,
+            )
+            fplans.append(fp)
+        self._face_plan_common = None
+        self._hybrid_common = None
+        if fplans[0] is not None and all(
+            f == fplans[0] for f in fplans[1:]
+        ):
+            self._face_plan_common = fplans[0]
+            self._hybrid_common = ops_dia.hybrid_band_structures(
+                fplans[0], plan.n_local, npv
+            )
+            fl_ = fplans[0].f_live
+            self._bsr_static.update(
+                tail_cl=jnp.asarray(
+                    plan.face_cells_local[:, fl_:, 0], jnp.int32
+                ),
+                tail_cr=jnp.asarray(
+                    plan.face_cells_local[:, fl_:, 1], jnp.int32
+                ),
+            )
+
         # --- routing tables ------------------------------------------
         self._route_static = dict(
             owned=jnp.asarray(plan.owned_mask),
@@ -689,6 +809,10 @@ class DistributedSystem:
             p2p_perms=self._p2p_perms,
             p2p_send=route_st.get("p2p_send"),
             p2p_recv=route_st.get("p2p_recv"),
+            face_plan=self._face_plan_common,
+            hybrid=self._hybrid_common,
+            tail_cl=bsr_st.get("tail_cl"),
+            tail_cr=bsr_st.get("tail_cr"),
         )
 
     def make_step_fn(
@@ -869,7 +993,12 @@ class DistributedSimulation:
         )
         for d in range(plan.num_devices):
             m = plan.face_mask[d]
-            out[plan.face_ids[d][m]] = a[d][m]
+            # flipped faces carry the flux in the local canonical
+            # orientation; negate back to the host convention
+            sign = np.where(plan.face_flip[d][m], -1.0, 1.0)
+            out[plan.face_ids[d][m]] = a[d][m] * sign[
+                (...,) + (None,) * (a.ndim - 2)
+            ]
         return out
 
     def fluxes_at(self, y, region):
