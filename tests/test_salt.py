@@ -196,3 +196,183 @@ def test_wse_properties_and_transitions():
     )
     assert int(rnew[0]) == 5
     assert bool(trans[0]) and not bool(terr[0])
+
+
+def test_wse_transition_golden():
+    """Golden-value transition tests mirroring the reference's
+    eos_wse_test.F90:205-524 (test_eos_wse_transition): every case and
+    expected primary/region from the Fortran asserts, tol 1e-6
+    (unit_test_utils.F90 transition_compare). Covers no-salt 1<->4,
+    2<->4, salt-in-brine 1->4/2->4 with salt repartitioning, halite
+    precipitation/dissolution 1<->5, 2<->6, 4<->8, and all null
+    transitions."""
+    from waiwera_tpu import thermo as thermo_mod
+    from waiwera_tpu.eos.wse import EOSWaterSaltEnergy
+    from waiwera_tpu.physics import relperm, capillarity
+
+    thermo = thermo_mod.from_name("iapws")
+    eos = EOSWaterSaltEnergy(
+        {}, thermo, relperm.from_json({"type": "fully_mobile"}),
+        capillarity.from_json(None),
+    )
+    small = 1.0e-6
+    # (title, old_region, old_primary, primary, old_T,
+    #  expected_region, expected_primary, expected_transition)
+    cases = [
+        ("r1 null Xs=0", 1, [1e5, 20.0, 0.0], [1e5, 20.0, 0.0],
+         20.0, 1, [1e5, 20.0, 0.0], False),
+        ("r1->4 Xs=0", 1, [20.0e5, 210.0, 0.0], [15.0e5, 200.0, 0.0],
+         210.0, 4, [16.647121334271149e5, small, 0.0], True),
+        ("r2 null Xs=0", 2, [1e5, 120.0, 0.0], [1e5, 120.0, 0.0],
+         120.0, 2, [1e5, 120.0, 0.0], False),
+        ("r2->4 Xs=0", 2, [84.0e5, 302.0, 0.0],
+         [86.0e5, 299.27215502281706, 0.0], 302.0, 4,
+         [85.621455812056474e5, 1.0 - small, 0.0], True),
+        ("r4 null Xs=0", 4, [1e5, 0.5, 0.0], [1e5, 0.5, 0.0],
+         99.6059, 4, [1e5, 0.5, 0.0], False),
+        ("r4->1 Xs=0", 4, [85.0e5, 0.1, 0.0], [86.0e5, -0.01, 0.0],
+         299.27215502281706, 1,
+         [85.90917681818182e5, 300.02645326107097, 0.0], True),
+        ("r4->2 Xs=0", 4, [20.0e5, 0.9, 0.0], [20.1e5, 1.02, 0.0],
+         212.38453531849041, 2,
+         [20.08331325e5, 212.59487472987195, 0.0], True),
+        ("r1 null Xs>0", 1, [1e5, 20.0, 0.2], [1e5, 20.0, 0.2],
+         20.0, 1, [1e5, 20.0, 0.2], False),
+        ("r1->4 Xs>0", 1, [20.0e5, 210.0, 0.01],
+         [15.0e5, 200.0, 0.05], 210.0, 4,
+         [1.52428924e6, small, 4.80568610e-2], True),
+        ("r2 Xs>0 -> 6", 2, [1e5, 120.0, small], [1e5, 120.0, small],
+         120.0, 6, [1e5, 120.0, small], True),
+        ("r2->4 Xs>0", 2, [84.0e5, 302.0, 0.01],
+         [86.0e5, 299.27215502281706, 0.05], 302.0, 4,
+         [85.621455812056474e5, 1.0 - small, 4.2429116241129744e-2],
+         True),
+        ("r4 null Xs>0", 4, [1e5, 0.5, 0.2], [1e5, 0.5, 0.2],
+         99.6059, 4, [1e5, 0.5, 0.2], False),
+        ("r4->1 Xs>0", 4, [85.0e5, 0.1, 0.01], [86.0e5, -0.01, 0.03],
+         299.27215502281706, 1,
+         [85.90917681818182e5, 301.26248746444287,
+          0.028181818181818], True),
+        ("r5 null", 5, [1e5, 20.0, 0.1], [1e5, 20.0, 0.1],
+         20.0, 5, [1e5, 20.0, 0.1], False),
+        ("r6 null", 6, [1e5, 120.0, 0.2], [1e5, 120.0, 0.2],
+         120.0, 6, [1e5, 120.0, 0.2], False),
+        ("r8 null", 8, [1e5, 0.5, 0.25], [1e5, 0.5, 0.25],
+         99.6059, 8, [1e5, 0.5, 0.25], False),
+        ("r1->5", 1, [20.0e5, 210.0, 0.32], [20.0e5, 210.0, 0.325],
+         210.0, 5, [20.0e5, 210.0, small], True),
+        ("r5->1", 5, [20.0e5, 210.0, 0.05], [20.0e5, 210.0, -0.01],
+         210.0, 1, [20.0e5, 210.0, 0.3220677667197454], True),
+        ("r2->6", 2, [60.0e5, 302.0, 0.1], [60.0e5, 302.0, 0.1],
+         302.0, 6, [60.0e5, 302.0, small], True),
+        ("r6->2", 6, [55.0e5, 302.0, 0.1], [55.0e5, 302.0, -0.05],
+         302.0, 2, [55.0e5, 302.0, 0.0], True),
+        ("r4->8", 4, [10.0e5, 0.1, 0.25], [10.0e5, 0.1, 0.33],
+         200.0, 8, [10.0e5, 0.1, small], True),
+        ("r8->4", 8, [1.116895574534e6, 0.1, 0.01],
+         [1.116895574534e6, 0.1, -0.01], 200.0, 4,
+         [1.116895574534e6, 0.1, 0.3172414011477263], True),
+    ]
+    old_primary = jnp.asarray([c[2] for c in cases])
+    primary = jnp.asarray([c[3] for c in cases])
+    region = jnp.asarray([c[1] for c in cases], jnp.int32)
+    old_t = jnp.asarray([c[4] for c in cases])
+    pnew, rnew, trans, terr = eos.transition(
+        old_primary, primary, region, old_t
+    )
+    pnew = np.asarray(pnew)
+    rnew = np.asarray(rnew)
+    trans = np.asarray(trans)
+    terr = np.asarray(terr)
+    for i, c in enumerate(cases):
+        title, _, _, _, _, exp_region, exp_primary, exp_trans = c
+        assert not terr[i], title
+        assert int(rnew[i]) == exp_region, (
+            f"{title}: region {rnew[i]} != {exp_region}"
+        )
+        assert bool(trans[i]) == exp_trans, title
+        np.testing.assert_allclose(
+            pnew[i], exp_primary, rtol=1e-6, atol=1e-9,
+            err_msg=title,
+        )
+
+
+def test_wsge_transition_golden():
+    """Golden-value transition tests mirroring the reference's
+    eos_wsge_test.F90:255-684 (test_eos_wsge_transition), Pg > 0
+    cases (the Pg = 0 cases duplicate eos_wse_test and are covered by
+    test_wse_transition_golden; partial pressure interpolates linearly
+    along the Newton path through the transition). tol 1e-6."""
+    from waiwera_tpu import thermo as thermo_mod
+    from waiwera_tpu.eos.wsge import EOSWaterSaltGasEnergy
+    from waiwera_tpu.physics import relperm, capillarity
+
+    thermo = thermo_mod.from_name("iapws")
+    eos = EOSWaterSaltGasEnergy(
+        {}, thermo, relperm.from_json({"type": "fully_mobile"}),
+        capillarity.from_json(None),
+    )
+    small = 1.0e-6
+    cases = [
+        ("r1 null Pg>0", 1, [1e5, 20.0, 0.0, 0.2e5],
+         [1e5, 20.0, 0.0, 0.2e5], 20.0, 1,
+         [1e5, 20.0, 0.0, 0.2e5], False),
+        ("r1->4 Pg>0", 1, [21.0e5, 210.0, 0.0, 1.0e5],
+         [17.0e5, 200.0, 0.0, 2.0e5], 210.0, 4,
+         [18.31769706741692e5, small, 0.0, 1.6705757331457702e5],
+         True),
+        ("r2 null Pg>0", 2, [1e5, 120.0, 0.0, 0.2e5],
+         [1e5, 120.0, 0.0, 0.2e5], 120.0, 2,
+         [1e5, 120.0, 0.0, 0.2e5], False),
+        ("r2->4 Pg>0", 2, [86.0e5, 302.0, 0.0, 2.0e5],
+         [87.0e5, 299.27215502281706, 0.0, 1.0e5], 302.0, 4,
+         [86.810727906028237e5, 1.0 - small, 0.0,
+          1.1892720939717567e5], True),
+        ("r4 null Pg>0", 4, [1e5, 0.5, 0.0, 0.2e5],
+         [1e5, 0.5, 0.0, 0.2e5], 99.6059, 4,
+         [1e5, 0.5, 0.0, 0.2e5], False),
+        ("r4->1 Pg>0", 4, [88.0e5, 0.1, 0.0, 3.0e5],
+         [87.5e5, -0.01, 0.0, 1.5e5], 299.27215502281706, 1,
+         [87.545540454545449e5, 300.02645326107097, 0.0,
+          1.6363636363636365e5], True),
+        ("r4->2 Pg>0", 4, [22.0e5, 0.9, 0.0, 2.0e5],
+         [24.1e5, 1.02, 0.0, 4.0e5], 212.38453531849041, 2,
+         [23.749979916666667e5, 212.59487472987195, 0.0,
+          3.6666666666666663e5], True),
+        ("r1->4 Xs>0 Pg>0", 1, [21.0e5, 210.0, 0.01, 1.0e5],
+         [16.0e5, 200.0, 0.05, 1.0e5], 210.0, 4,
+         [1.62428924e6, small, 4.80568610e-2, 1.0e5], True),
+        ("r2->4 Xs>0 Pg>0", 2, [85.0e5, 302.0, 0.01, 1.0e5],
+         [87.0e5, 299.27215502281706, 0.05, 1.0e5], 302.0, 4,
+         [8.6621455812056493e6, 1.0 - small,
+          4.2429116241129744e-2, 1.0e5], True),
+        ("r4->1 Xs>0 Pg>0", 4, [86.0e5, 0.1, 0.01, 1.0e5],
+         [87.0e5, -0.01, 0.03, 1.0e5], 299.27215502281706, 1,
+         [86.90917681818182e5, 301.26248746444287,
+          0.028181818181818, 1.0e5], True),
+        ("r1->5 Pg>0", 1, [21.0e5, 210.0, 0.32, 1.0e5],
+         [21.0e5, 210.0, 0.325, 1.0e5], 210.0, 5,
+         [21.0e5, 210.0, small, 1.0e5], True),
+    ]
+    old_primary = jnp.asarray([c[2] for c in cases])
+    primary = jnp.asarray([c[3] for c in cases])
+    region = jnp.asarray([c[1] for c in cases], jnp.int32)
+    old_t = jnp.asarray([c[4] for c in cases])
+    pnew, rnew, trans, terr = eos.transition(
+        old_primary, primary, region, old_t
+    )
+    pnew = np.asarray(pnew)
+    rnew = np.asarray(rnew)
+    trans = np.asarray(trans)
+    terr = np.asarray(terr)
+    for i, c in enumerate(cases):
+        title, _, _, _, _, exp_region, exp_primary, exp_trans = c
+        assert not terr[i], title
+        assert int(rnew[i]) == exp_region, (
+            f"{title}: region {rnew[i]} != {exp_region}"
+        )
+        assert bool(trans[i]) == exp_trans, title
+        np.testing.assert_allclose(
+            pnew[i], exp_primary, rtol=1e-6, atol=1e-9,
+            err_msg=title,
+        )
