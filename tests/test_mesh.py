@@ -180,3 +180,90 @@ def test_gmsh_41_binary_matches_ascii(tmp_path):
         np.testing.assert_allclose(m.cell_volume, ref.cell_volume)
         np.testing.assert_array_equal(m.face_cells, ref.face_cells)
         np.testing.assert_allclose(m.face_area, ref.face_area)
+
+
+def test_block3_fixture_geometry():
+    """Reference fixture block3.exo: golden face/cell geometry from
+    the reference's test_mesh_init (mesh_test.F90:147-253) — dim 3,
+    3 cells, interior face area 200, per-side distances (5,10) and
+    (10,15), face centroids (5,10,50)/(5,10,30)."""
+    from waiwera_tpu.mesh.exodus import read_exodus
+
+    m = read_exodus("/root/reference/test/unit/data/mesh/block3.exo")
+    assert m.dim == 3
+    assert m.num_cells == 3
+    fc = np.asarray(m.face_cells)
+    assert fc.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(m.face_area), [200.0, 200.0])
+    # order faces by first cell (natural pairs (0,1), (1,2))
+    order = np.argsort(fc.min(axis=1))
+    dist = np.asarray(m.face_distance)[order]
+    np.testing.assert_allclose(dist, [[5.0, 10.0], [10.0, 15.0]])
+    np.testing.assert_allclose(
+        np.asarray(m.face_distance12)[order], [15.0, 25.0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.face_centroid)[order],
+        [[5.0, 10.0, 50.0], [5.0, 10.0, 30.0]],
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.cell_volume), [2000.0, 4000.0, 6000.0]
+    )
+
+
+def test_col100_fixture_geometry():
+    """Reference fixture col100.exo (the mesh the reference's rock
+    assignment / natural-ordering tests run on, mesh_test.F90:
+    1032-1501): a 100-cell vertical column of 10 m cubes in natural
+    order along -z."""
+    from waiwera_tpu.mesh.exodus import read_exodus
+
+    m = read_exodus("/root/reference/test/unit/data/mesh/col100.exo")
+    assert m.num_cells == 100
+    fc = np.asarray(m.face_cells)
+    assert fc.shape[0] == 99
+    np.testing.assert_allclose(np.asarray(m.cell_volume), 1000.0)
+    np.testing.assert_allclose(np.asarray(m.face_area), 100.0)
+    np.testing.assert_allclose(np.asarray(m.face_distance), 5.0)
+    np.testing.assert_allclose(np.asarray(m.face_distance12), 10.0)
+    # natural order descends in z, 10 m per cell
+    c = np.asarray(m.cell_centroid)
+    np.testing.assert_allclose(c[:, 2], -5.0 - 10.0 * np.arange(100))
+    # each face joins consecutive natural cells
+    np.testing.assert_array_equal(
+        np.sort(fc.min(axis=1)), np.arange(99)
+    )
+    np.testing.assert_array_equal(
+        np.abs(fc[:, 1] - fc[:, 0]), np.ones(99, np.int64)
+    )
+
+
+def test_7x7grid_fixture_geometry():
+    """Reference fixture 7x7grid.exo (zone/rock-assignment fixture,
+    mesh_test.F90:503+): 7x7 areal grid, 200 m thick, edge cells
+    1000 m wide and interior cells 500 m wide — so volumes are
+    {5e7, 1e8, 2e8} m^3 and face areas {1e5, 2e5} m^2 with per-side
+    distances {250, 500} m."""
+    from waiwera_tpu.mesh.exodus import read_exodus
+
+    m = read_exodus("/root/reference/test/unit/data/mesh/7x7grid.exo")
+    assert m.num_cells == 49
+    fc = np.asarray(m.face_cells)
+    assert fc.shape[0] == 84  # 2 * 7 * 6 interior faces
+    v = np.asarray(m.cell_volume)
+    np.testing.assert_allclose(
+        np.sort(np.unique(np.round(v, 3))), [5.0e7, 1.0e8, 2.0e8]
+    )
+    # total volume = (5*500 + 2*1000)^2 * 200
+    np.testing.assert_allclose(v.sum(), (4500.0 ** 2) * 200.0)
+    np.testing.assert_allclose(
+        np.sort(np.unique(np.round(np.asarray(m.face_area), 3))),
+        [1.0e5, 2.0e5],
+    )
+    np.testing.assert_allclose(
+        np.sort(np.unique(np.round(np.asarray(m.face_distance), 3))),
+        [250.0, 500.0],
+    )
+    # areal: single z layer at centroid 400
+    np.testing.assert_allclose(np.asarray(m.cell_centroid)[:, 2], 400.0)
