@@ -108,90 +108,105 @@ def main():
     from waiwera_tpu.parallel.spmd import DistributedSystem
     from waiwera_tpu.solver.newton import NewtonParams
 
-    cells_per_device = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    nx = ny = 16
-    nz_unit = max(cells_per_device // (nx * ny), 1)
-
-    params = NewtonParams(
-        max_iterations=8, min_iterations=1, linear_pc="bjacobi",
-        linear_dtype="float32", jacobian_dtype="float32",
-    )
+    # Fixed GLOBAL problem, varying device count: preconditioner
+    # quality under decomposition is the solver-side quantity that
+    # bounds scaling efficiency, and it must be measured on one
+    # problem (a growing box changes the physics, not just the
+    # partition). bjacobi (production default) is partition-invariant
+    # by construction; asm (local DILU = restricted additive Schwarz
+    # over the overlap-1 halos) is where decomposition can bite.
+    nx, ny, nz = 24, 24, 24  # 13,824 cells / 41,472 dof
+    sim = build(nx, ny, nz)
+    lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)
+    dt = jnp.asarray(1.0e4)
 
     rows = []
     for D in (1, 2, 4, 8):
-        nz = nz_unit * D
-        sim = build(nx, ny, nz)
         ds = DistributedSystem(sim, D)
-        step = ds.make_step_fn(params, "beuler")
-        lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)
         yl = ds.to_local(sim.y0)
         rl = ds.to_local(sim.region0)
         tl = ds.to_local(fluid0.temperature)
         Ll = ds.to_local(lhs0)
-        dt = jnp.asarray(1.0e5)
         args = (yl, rl, tl, Ll, Ll, jnp.asarray(0.0), dt, dt,
                 jnp.asarray(1.0))
-        res = step(*args)  # compile + warm
-        float(np.asarray(res[0].max_residual))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            r2 = step(*args)
-            float(np.asarray(r2[0].max_residual))
-            best = min(best, time.perf_counter() - t0)
-        lin_its = int(res[0].linear_iterations)
-        newton = int(res[0].iterations)
-        hb = halo_bytes_per_sync(ds.plan, sim.eos.num_primary_variables)
-        # syncs per step: one per Krylov matvec (bcgs: 2/iteration)
-        # + one per Newton update + tail corrections reuse the same
-        # exchange
-        syncs = 2 * lin_its + newton
-        rows.append(dict(
-            D=D, cells=nx * ny * nz, newton=newton, lin_its=lin_its,
-            step_s=best, halo_bytes=hb, halo_step=hb * syncs,
+        row = dict(
+            D=D, cells=nx * ny * nz,
             plan=ds._face_plan_common is not None,
-        ))
+            halo_bytes=halo_bytes_per_sync(
+                ds.plan, sim.eos.num_primary_variables
+            ),
+        )
+        for pc in ("bjacobi", "asm"):
+            # gmres: monotone, near-deterministic iteration
+            # counts (BiCGStab's counts are chaotic under reduction
+            # reordering, which would swamp the partition effect)
+            params = NewtonParams(
+                max_iterations=8, min_iterations=1, linear_pc=pc,
+                linear_method="gmres", linear_restart=40,
+                # f64 end-to-end: in f32 this problem sits near
+                # stagnation where iteration counts are chaotic and
+                # would swamp the partition effect being measured
+            )
+            step = ds.make_step_fn(params, "beuler")
+            res = step(*args)  # compile + warm
+            float(np.asarray(res[0].max_residual))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r2 = step(*args)
+                float(np.asarray(r2[0].max_residual))
+                best = min(best, time.perf_counter() - t0)
+            row[f"{pc}_its"] = int(res[0].linear_iterations)
+            row[f"{pc}_newton"] = int(res[0].iterations)
+            row[f"{pc}_s"] = best
+        rows.append(row)
         print(
-            f"# D={D} cells={nx*ny*nz} newton={newton} "
-            f"krylov={lin_its} step={best:.2f}s "
-            f"halo/sync={hb/1e3:.1f}kB plan={rows[-1]['plan']}",
+            f"# D={D} bjacobi={row['bjacobi_its']} its "
+            f"({row['bjacobi_s']:.2f}s) asm={row['asm_its']} its "
+            f"({row['asm_s']:.2f}s) halo/sync="
+            f"{row['halo_bytes']/1e3:.1f}kB plan={row['plan']}",
             file=sys.stderr, flush=True,
         )
 
     r1 = rows[0]
-    print("# Weak scaling (virtual CPU mesh proxy)\n")
-    print(f"Fixed ~{cells_per_device} cells/device (eos_wge box, "
-          "bjacobi, one BE step; see tools/weak_scaling.py for what "
-          "does and does not transfer to real ICI hardware).\n")
-    print("| devices | cells | Newton its | Krylov its | its vs 1-dev "
-          "| halo kB/exchange | est. halo MB/step | banded plan | "
-          "step s (CPU) |")
-    print("|---|---|---|---|---|---|---|---|---|")
+    print("# Scaling proxy: preconditioner quality and halo traffic "
+          "vs device count\n")
+    print(f"One fixed eos_wge box ({nx}x{ny}x{nz} = {nx*ny*nz} cells, "
+          "one BE step, virtual CPU mesh). Krylov iteration growth "
+          "under decomposition is the solver-side bound on scaling "
+          "efficiency and transfers to real ICI hardware; CPU step "
+          "times do not (devices share host cores) and are omitted "
+          "from the table.\n")
+    print("| devices | bjacobi Krylov its | vs 1-dev | asm Krylov its "
+          "| vs 1-dev | halo kB/exchange | banded plan |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(
-            f"| {r['D']} | {r['cells']} | {r['newton']} | "
-            f"{r['lin_its']} | "
-            f"{r['lin_its'] / max(r1['lin_its'], 1):.2f}x | "
+            f"| {r['D']} | {r['bjacobi_its']} | "
+            f"{r['bjacobi_its'] / max(r1['bjacobi_its'], 1):.2f}x | "
+            f"{r['asm_its']} | "
+            f"{r['asm_its'] / max(r1['asm_its'], 1):.2f}x | "
             f"{r['halo_bytes'] / 1e3:.1f} | "
-            f"{r['halo_step'] / 1e6:.1f} | "
-            f"{'yes' if r['plan'] else 'no'} | {r['step_s']:.2f} |"
+            f"{'yes' if r['plan'] else 'no'} |"
         )
     print()
-    interior = rows[-1]
-    surf = interior["halo_bytes"] / max(interior["D"], 1)
-    state = interior["cells"] / interior["D"] * 3 * 8
+    last = rows[-1]
+    surf = last["halo_bytes"] / max(last["D"], 1)
+    state = last["cells"] / last["D"] * 3 * 8
     print(
-        f"Halo surface-to-volume: ~{surf / 1e3:.1f} kB sent per device "
-        f"per exchange vs ~{state / 1e6:.2f} MB of local solution "
-        "state — the O(N^(2/3)) surface term the overlap hides "
-        "(parallel/spmd.py sync)."
+        f"At {last['D']} devices each device sends ~{surf/1e3:.1f} kB "
+        f"per halo exchange vs ~{state/1e6:.2f} MB of local solution "
+        "state — the O(N^(2/3)) surface term that rides ICI and "
+        "overlaps with the banded SpMV (parallel/spmd.py sync / "
+        "linear_operator_from_parts)."
     )
     print(
-        "\nKrylov iteration growth is the quantity that transfers to "
-        "hardware: domain-decomposed preconditioning weakens with "
-        "device count; the table's `its vs 1-dev` column bounds the "
-        "achievable weak-scaling efficiency from the solver side "
-        "(>=80% requires it stays <= ~1.25x)."
+        "\nbjacobi (production default) is exactly partition-"
+        "invariant: identical preconditioning at any device count, so "
+        "the solver imposes NO efficiency loss under decomposition; "
+        "per-device work and the O(surface) halo term set the scaling "
+        "limit (>=10k cells/device keeps the surface term small, the "
+        "granularity guidance of run.rst:140-144)."
     )
 
 

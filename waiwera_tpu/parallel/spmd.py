@@ -227,9 +227,13 @@ class LocalSystem(System):
         from waiwera_tpu.solver import precond as _precond
 
         mv = self.make_matvec(mat, dtype)
-        if pc_name in ("bjacobi", "jacobi", "none"):
+        if pc_name in ("bjacobi", "jacobi", "none", "line", "zline",
+                       "cpr", "cprmg"):
+            # line/CPR hierarchies are single-device structures;
+            # distributed falls back to exact block-Jacobi
             pc = _precond.make_preconditioner(
-                pc_name, mat, sweeps=sweeps, dtype=dtype
+                "none" if pc_name == "none" else "bjacobi",
+                mat, sweeps=sweeps, dtype=dtype,
             )
         else:  # asm / ilu / dilu / sgs
             b = self.npv
@@ -342,7 +346,10 @@ class LocalSystem(System):
 
         if pc_name in ("none",):
             pc = lambda r: r
-        elif pc_name in ("bjacobi", "jacobi"):
+        elif pc_name in ("bjacobi", "jacobi", "line", "zline", "cpr",
+                         "cprmg"):
+            # line/CPR hierarchies are single-device structures;
+            # distributed falls back to exact block-Jacobi
             dinv2 = invert_blocks_em(diag2)
             pc = ops_dia.dia_block_jacobi_em(dinv2, dtype)
         else:  # asm / ilu / dilu / sgs -> local DILU == restricted

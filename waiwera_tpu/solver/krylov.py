@@ -51,6 +51,18 @@ def bicgstab(
     under shard_map; identity on a single device). All dot products /
     norms are local contractions followed by reduce_sum, so the solver
     runs unchanged over domain-decomposed vectors.
+
+    True-residual safeguarding: the BiCGStab recurrence residual can
+    drift from b - A x (round-off accumulation, worst with strong or
+    ill-scaled preconditioners in f32) and can break down when the
+    shadow residual dot rho underflows; either way the recurrence
+    claims convergence the true residual does not support. Each
+    convergence-by-recurrence therefore re-evaluates the TRUE residual
+    and, if it is still above tol, restarts the recurrence from the
+    current iterate with a fresh shadow vector (at most 3 rounds; a
+    few extra matvecs total). PETSc users know this as the difference
+    between preconditioned-recurrence and true-residual convergence
+    monitoring.
     """
     if precond is None:
         precond = lambda v: v
@@ -62,20 +74,11 @@ def bicgstab(
         return jnp.sqrt(jnp.real(_dot(a, a)))
     tiny = float(jnp.finfo(b.dtype).tiny)
     x = jnp.zeros_like(b) if x0 is None else x0
-    r = b - matvec(x)
-    r0 = r
     bnorm = _norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
 
-    rho = _dot(r0, r)
-    p = r
-
-    def cond(state):
-        x, r, p, rho, k, rnorm = state
-        return (rnorm > tol) & (k < max_iterations) & jnp.isfinite(rnorm)
-
     def body(state):
-        x, r, p, rho, k, _ = state
+        x, r, r0, p, rho, k, _ = state
         phat = precond(p)
         v = matvec(phat)
         denom = _dot(r0, v)
@@ -92,10 +95,33 @@ def bicgstab(
             alpha / jnp.where(omega != 0, omega, tiny)
         )
         p_new = r_new + beta * (p - omega * v)
-        return (x_new, r_new, p_new, rho_new, k + 1, _norm(r_new))
+        return (x_new, r_new, r0, p_new, rho_new, k + 1, _norm(r_new))
 
-    state = (x, r, p, rho, jnp.int32(0), _norm(r))
-    x, r, p, rho, k, rnorm = lax.while_loop(cond, body, state)
+    def cond(state):
+        x, r, r0, p, rho, k, rnorm = state
+        return (rnorm > tol) & (k < max_iterations) & jnp.isfinite(rnorm)
+
+    # outer safeguard loop nests the recurrence while_loop so the
+    # graph holds ONE copy of the body (an unrolled version tripled
+    # compile time); each round enters from the TRUE residual
+    def round_cond(carry):
+        x, k, rnorm, rnd = carry
+        return (
+            (rnorm > tol) & (rnd < 3) & (k < max_iterations)
+            & jnp.isfinite(rnorm)
+        )
+
+    def round_body(carry):
+        x, k, _, rnd = carry
+        r = b - matvec(x)
+        state = (x, r, r, r, _dot(r, r), k, _norm(r))
+        x, r, _, _, _, k, _ = lax.while_loop(cond, body, state)
+        return (x, k, _norm(b - matvec(x)), rnd + 1)
+
+    r0n = _norm(b - matvec(x))
+    x, k, rnorm, _ = lax.while_loop(
+        round_cond, round_body, (x, jnp.int32(0), r0n, jnp.int32(0))
+    )
     return KrylovResult(
         x=x,
         iterations=k,

@@ -215,8 +215,8 @@ def make_preconditioner(
         return lambda r: r
     if name in ("bjacobi", "jacobi"):
         return block_jacobi(matrix, dtype=dtype)
-    if name in ("line", "zline"):
-        # line solves need the banded layout (ops.dia.dia_line_pc_em);
+    if name in ("line", "zline", "cpr", "cprmg"):
+        # line/CPR-MG need the banded box layout (ops.dia / ops.mg);
         # on unstructured BSR fall back to block-Jacobi
         return block_jacobi(matrix, dtype=dtype)
     if name in ("lu",):

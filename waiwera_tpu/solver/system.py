@@ -329,6 +329,20 @@ class System:
                 if pc is None:  # no +-offset pair: fall back
                     dinv = invert_blocks(dia.diag_band_blocks(m64))
                     pc = dia.dia_block_jacobi(dinv, dtype)
+            elif pc_name in ("cpr", "cprmg"):
+                from waiwera_tpu.ops import mg as ops_mg
+
+                built = ops_mg.pressure_levels(m64, dtype=dtype)
+                dinv = invert_blocks(dia.diag_band_blocks(m64))
+                bj = dia.dia_block_jacobi(dinv, dtype)
+                if built is None:
+                    pc = bj
+                else:
+                    levels, dims = built
+                    pc = ops_mg.cpr_apply(
+                        levels, dims, m.matvec, bj,
+                        self.mesh.num_cells, self.npv,
+                    )
             else:  # asm / ilu / dilu / sgs -> shift-based DILU
                 pc = dia.dia_dilu(
                     m64, invert_blocks, sweeps=sweeps, dtype=dtype
@@ -651,6 +665,22 @@ class System:
             if pc is None:
                 dinv2 = invert_blocks_em(diag2)
                 pc = dia.dia_block_jacobi_em(dinv2, dtype)
+        elif pc_name in ("cpr", "cprmg"):
+            # CPR: geometric multigrid V-cycle on the pressure block
+            # + block-Jacobi correction (ops/mg.py)
+            from waiwera_tpu.ops import mg as ops_mg
+
+            built = ops_mg.pressure_levels(m64, dtype=dtype)
+            dinv2 = invert_blocks_em(diag2)
+            bj = dia.dia_block_jacobi_em(dinv2, dtype)
+            if built is None:
+                pc = bj
+            else:
+                levels, dims = built
+                pc = ops_mg.cpr_apply(
+                    levels, dims, mv, bj, self.mesh.num_cells,
+                    self.npv,
+                )
         else:  # asm / ilu / dilu / sgs -> shift-based DILU
             # hybrid: the DILU factorisation ignores the tail blocks
             # (restricted to the banded part; the tail still enters
