@@ -554,18 +554,10 @@ def main():
             result["reduced_cells"] = n_r
             result["reduced_step_seconds"] = t_mixed
             result["reduced_linear_iterations"] = li_m
-            emit()
-            other = "bjacobi" if linear_pc != "bjacobi" else "dilu"
-            if over_budget(reserve=90.0):
-                raise RuntimeError("skipped: time budget")
-            t2, it2, li2 = time_step(
-                sim_r, make_step(sim_r, pc=other), reps=2
-            )
-            result[f"reduced_step_seconds_{other}"] = t2
-            result[f"reduced_linear_iterations_{other}"] = li2
-            print(f"# pc compare done: {linear_pc} {t_mixed:.2f}s "
-                  f"({li_m} its) vs {other} {t2:.2f}s ({li2} its)",
-                  flush=True)
+            result["pc_sweep"] = {
+                linear_pc: {"step_seconds": t_mixed, "newton": it_m,
+                            "linear_iterations": li_m}
+            }
             emit()
             if over_budget(reserve=90.0):
                 raise RuntimeError("skipped: time budget")
@@ -735,6 +727,34 @@ def main():
                 )
         except Exception as e:
             result["cpu_reference_error"] = repr(e)
+        emit()
+
+        # preconditioner sweep (the data behind the bjacobi default):
+        # remaining candidates on the same reduced system — dilu (the
+        # reference's ASM/ILU(0) analogue), z-line block-tridiagonal,
+        # CPR pressure-MG. Last section: each candidate costs a fresh
+        # compile, so it only consumes leftover budget.
+        for other in ("dilu", "line", "cpr"):
+            if other == linear_pc or sim_r is None:
+                continue
+            if over_budget(reserve=300.0):
+                result["pc_sweep_truncated"] = "time budget"
+                break
+            try:
+                t2, it2, li2 = time_step(
+                    sim_r, make_step(sim_r, pc=other), reps=2
+                )
+                result.setdefault("pc_sweep", {})[other] = {
+                    "step_seconds": t2, "newton": it2,
+                    "linear_iterations": li2,
+                }
+                print(f"# pc {other}: {t2:.2f}s ({it2} newton, "
+                      f"{li2} its)", flush=True)
+            except Exception as e:
+                result.setdefault("pc_sweep", {})[other] = {
+                    "error": repr(e)
+                }
+            emit()
 
     result["bench_wall_seconds"] = time.time() - t_start
     emit()

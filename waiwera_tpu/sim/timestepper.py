@@ -153,11 +153,15 @@ class Timestepper:
             linear_method=str(opt(lin, "type", "bcgs")).lower(),
             # default bjacobi, diverging from the reference's
             # ASM/ILU(0) (timestepper.F90:2019-2022) on measured TPU
-            # data (BENCH r4): the shift-based DILU/ILU(0) analogue
-            # costs ~3x per application and loses iteration quality on
-            # late Newton solves (flagship: 1278 Krylov its / 10.2 s
-            # vs bjacobi 340 its / 1.2 s). "asm"/"ilu" still select
-            # the DILU path when configured explicitly.
+            # data. r5 sweep at 131k cells, true-residual-verified
+            # (safeguarded BiCGStab): bjacobi 0.49 s/step (2 Newton,
+            # 202 Krylov its) vs dilu 1.16 s (1027 its), z-line
+            # block-tridiagonal 0.69 s (7 Newton — line subsystem
+            # near-singular at depth), CPR pressure-MG 1.50 s (1228
+            # its; the aggregation V-cycle is counterproductive on
+            # late-Newton two-phase Jacobians, identically in f32 and
+            # f64). "asm"/"ilu"/"line"/"cpr" still select those paths
+            # when configured explicitly.
             linear_pc=str(
                 opt(lin.get("preconditioner", {}) or {}, "type", "bjacobi")
             ).lower(),

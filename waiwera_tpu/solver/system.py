@@ -667,7 +667,13 @@ class System:
                 pc = dia.dia_block_jacobi_em(dinv2, dtype)
         elif pc_name in ("cpr", "cprmg"):
             # CPR: geometric multigrid V-cycle on the pressure block
-            # + block-Jacobi correction (ops/mg.py)
+            # + block-Jacobi correction (ops/mg.py). NON-DEFAULT:
+            # strong on mild systems (6 vs 38 BiCGStab its measured),
+            # but on the flagship's late-Newton two-phase Jacobians
+            # the Jacobi-smoothed aggregation V-cycle is
+            # counterproductive (measured r5: 1228 its / 5 Newton vs
+            # bjacobi 202 / 2, identical in f32 and f64 — not a
+            # precision effect). bjacobi stays the default.
             from waiwera_tpu.ops import mg as ops_mg
 
             built = ops_mg.pressure_levels(m64, dtype=dtype)
