@@ -669,6 +669,72 @@ def test_dia_pallas_kernel_interpret():
     np.testing.assert_allclose(y_pal, y_ref, rtol=2e-5, atol=2e-4)
 
 
+def test_interleaved_solver_ops_match_natural(monkeypatch):
+    """The interleaved-domain Krylov path (encode once, band SpMV +
+    block-Jacobi in the Pallas layout, decode once) must reproduce the
+    natural-layout operator/preconditioner and reach the same solution
+    (pallas interpret mode on CPU)."""
+    from waiwera_tpu.ops import dia
+    from waiwera_tpu.solver import krylov
+    from waiwera_tpu.solver.system import MethodCoeffs
+
+    monkeypatch.setenv("WAIWERA_TPU_PALLAS", "on")
+    sim = _rect_system(6, 5, 4)
+    system = sim.system
+    lhs0, _, _ = sim.lhs_at(sim.y0, sim.region0)
+    coeffs = MethodCoeffs(
+        c_lhs=jnp.asarray(1.0), dt_eff=jnp.asarray(1e4), const=-lhs0
+    )
+    r, _, _, _, parts = system.residual_and_jacobian_parts(
+        sim.y0, sim.region0, sim.rock, coeffs,
+        jnp.asarray(0.0), jnp.asarray(1e4),
+    )
+    il = system.interleaved_solver_ops(parts, "bjacobi", jnp.float32)
+    assert il is not None
+    mv_il, pc_il, enc, dec = il
+    mv, pc = system.linear_operator_from_parts(
+        parts, "bjacobi", dtype=jnp.float32
+    )
+    n = system.mesh.num_cells
+    v = jnp.asarray(
+        np.random.default_rng(11)
+        .standard_normal((n, system.npv))
+        .astype(np.float32)
+    )
+    # encode/decode round trip
+    np.testing.assert_allclose(
+        np.asarray(dec(enc(v))), np.asarray(v), rtol=0, atol=0
+    )
+    # operator and preconditioner agree with the natural layout
+    np.testing.assert_allclose(
+        np.asarray(dec(mv_il(enc(v)))), np.asarray(mv(v)),
+        rtol=2e-5, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec(pc_il(enc(v)))), np.asarray(pc(v)),
+        rtol=2e-5, atol=2e-4,
+    )
+    # end-to-end bcgs solve in the interleaved domain
+    b32 = r.astype(jnp.float32)
+    res_il = krylov.bicgstab(
+        mv_il, enc(b32), precond=pc_il, rtol=1e-6, max_iterations=400
+    )
+    res_nat = krylov.bicgstab(
+        mv, b32, precond=pc, rtol=1e-6, max_iterations=400
+    )
+    assert bool(res_il.converged)
+    np.testing.assert_allclose(
+        np.asarray(dec(res_il.x)), np.asarray(res_nat.x),
+        rtol=5e-3, atol=5e-4,
+    )
+    # ineligible configurations return None
+    assert system.interleaved_solver_ops(parts, "lu", jnp.float32) is None
+    assert (
+        system.interleaved_solver_ops(parts, "bjacobi", jnp.float64)
+        is None
+    )
+
+
 def test_dia_dilu_preconditioner():
     """DIA shift-based DILU cuts BiCGStab iterations vs block-Jacobi
     and yields the correct solution."""

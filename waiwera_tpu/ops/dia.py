@@ -893,6 +893,11 @@ class PallasDIAMatrix(NamedTuple):
     def matvec(self, x: Array) -> Array:
         return _pallas_matvec8(self, x)
 
+    def matvec_il(self, x_il: Array) -> Array:
+        """SpMV staying in the interleaved layout (il_encode /
+        il_decode at the Krylov-solve boundary only)."""
+        return _pallas_matvec8_il(self, x_il)
+
 
 def to_dia_pallas(
     mat, dia: DIAStructure, dtype=jnp.float32
@@ -1024,13 +1029,74 @@ def _dia_kernel8(offsets, per_offset, rel_blocks, b: int, tq: int):
     return kernel
 
 
-def _pallas_matvec8(m: PallasDIAMatrix, x: Array) -> Array:
+def il_encode(x: Array, n_pad: int) -> Array:
+    """Natural [n, b] -> interleaved [b*8, n_pad//8] (f32), zero
+    padding rows n..n_pad. The Krylov solvers can run ENTIRELY in this
+    layout (encode b once, decode x once): all padding stays zero
+    under matvec/block-Jacobi/axpy, so dot products and norms are
+    exact, and the per-iteration relayout that dominated the natural-
+    layout matvec (569 us/apply vs ~200 us kernel time on the 512k-
+    cell flagship) disappears."""
+    n, b = x.shape
+    nq = n_pad // _Q
+    xp = jnp.zeros((n_pad, b), jnp.float32)
+    xp = jax.lax.dynamic_update_slice(
+        xp, x.astype(jnp.float32), (0, 0)
+    )
+    return xp.T.reshape(b, nq, _Q).transpose(0, 2, 1).reshape(b * _Q, nq)
+
+
+def il_decode(y: Array, n: int) -> Array:
+    """Interleaved [b*8, nq] -> natural [n, b]."""
+    bq, nq = y.shape
+    b = bq // _Q
+    yn = y.reshape(b, _Q, nq).transpose(0, 2, 1).reshape(b, nq * _Q)
+    return yn[:, :n].T
+
+
+def il_block_jacobi_em(dinv2: Array, n_pad: int, dtype=None):
+    """Block-Jacobi apply in the interleaved layout: z_il = D^{-1} r_il
+    with prefactored element-major inverse diagonal blocks [b*b, N].
+    The blocks are interleaved once at build time; each application is
+    b*b fused multiply-adds on [8, nq] tiles (fuses into the
+    surrounding Krylov vector ops)."""
+    bb, ncols = dinv2.shape
+    b = int(round(bb ** 0.5))
+    nq = n_pad // _Q
+    if dtype is not None:
+        dinv2 = dinv2.astype(dtype)
+    dpad = jnp.pad(dinv2.astype(jnp.float32),
+                   ((0, 0), (0, n_pad - ncols)))
+    d_il = dpad.reshape(bb, nq, _Q).transpose(0, 2, 1).reshape(
+        bb * _Q, nq
+    )
+
+    def apply(r_il: Array) -> Array:
+        outs = []
+        for i in range(b):
+            acc = None
+            for j in range(b):
+                k = i * b + j
+                t = (
+                    d_il[k * _Q : (k + 1) * _Q, :]
+                    * r_il[j * _Q : (j + 1) * _Q, :]
+                )
+                acc = t if acc is None else acc + t
+            outs.append(acc)
+        return jnp.concatenate(outs, axis=0)
+
+    return apply
+
+
+def _pallas_matvec8_il(m: PallasDIAMatrix, x_il: Array) -> Array:
+    """Band SpMV on an already-interleaved x [b*8, nq] -> y [b*8, nq]
+    (no layout conversion; the production Krylov path)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     offsets = m.offsets
     D = len(offsets)
-    n, b = x.shape
+    b = m.block_size
     n_pad = m.n_pad
     tq = _TILE // _Q  # lanes per block (multiple of 128)
     nq = n_pad // _Q
@@ -1039,16 +1105,11 @@ def _pallas_matvec8(m: PallasDIAMatrix, x: Array) -> Array:
     hb = max(max(abs(r) for r in rel_blocks), 1)
     pad_q = hb * tq
 
-    # x -> interleaved [b*8, nq + 2*pad_q], zero halo both sides
-    xp = jnp.zeros((n_pad, b), jnp.float32)
-    xp = jax.lax.dynamic_update_slice(
-        xp, x.astype(jnp.float32), (0, 0)
-    )
-    x_il = (
-        xp.T.reshape(b, nq, _Q).transpose(0, 2, 1).reshape(b * _Q, nq)
-    )
+    # zero halo both sides for the shifted x windows
     xt = jnp.zeros((b * _Q, nq + 2 * pad_q), jnp.float32)
-    xt = jax.lax.dynamic_update_slice(xt, x_il, (0, pad_q))
+    xt = jax.lax.dynamic_update_slice(
+        xt, x_il.astype(jnp.float32), (0, pad_q)
+    )
 
     kernel = _dia_kernel8(offsets, per_offset, rel_blocks, b, tq)
     grid = (nq // tq,)
@@ -1081,9 +1142,14 @@ def _pallas_matvec8(m: PallasDIAMatrix, x: Array) -> Array:
             ),
             interpret=interpret,
         )(m.bands8, *([xt] * len(rel_blocks)))
-    # de-interleave [b*8, nq] -> [n, b]
-    yn = y.reshape(b, _Q, nq).transpose(0, 2, 1).reshape(b, n_pad)
-    return yn[:, :n].T
+    return y
+
+
+def _pallas_matvec8(m: PallasDIAMatrix, x: Array) -> Array:
+    """Natural-layout wrapper: encode x, run the interleaved kernel,
+    decode y."""
+    n = x.shape[0]
+    return il_decode(_pallas_matvec8_il(m, il_encode(x, m.n_pad)), n)
 
 
 def pallas_matvec(m, x: Array) -> Array:

@@ -286,6 +286,13 @@ class LocalSystem(System):
             )
         )
 
+    def interleaved_solver_ops(self, parts, pc_name, dtype=None):
+        """Not eligible: the distributed matvec's halo tail (cross-
+        device edges gathered/scattered by natural row index) lives in
+        the natural layout; the banded fast path below already covers
+        the owned-owned blocks."""
+        return None
+
     def linear_operator_from_parts(
         self, parts, pc_name, dtype=None, sweeps=3
     ):
@@ -842,9 +849,10 @@ class DistributedSystem:
         )
         statics_specs = jax.tree_util.tree_map(lambda _: loc, statics)
 
-        def local_step(
+        def local_step_core(
             mesh_st, bsr_st, route_st, src_st, rock, y, region,
-            temperature, lhs_last, lhs_last2, t_last, dt, dt_last, first
+            temperature, lhs_last, lhs_last2, t_last, dt, dt_last,
+            first, fluid_last=None, fluxes_last=None,
         ):
             # shard_map blocks carry a leading device axis of size 1
             sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
@@ -863,6 +871,9 @@ class DistributedSystem:
             coeffs = method_coeffs(
                 method, dt, dt_last, first, lhs_last, lhs_last2
             )
+            initial = None
+            if fluid_last is not None and fluxes_last is not None:
+                initial = (sq(fluid_last), lhs_last, fluxes_last[0])
             res = newton_solve(
                 system,
                 y,
@@ -874,18 +885,24 @@ class DistributedSystem:
                 t1,
                 lhs_scale=lhs_last,
                 params=newton_params,
+                initial=initial,
             )
-            fluid, cond, _ = system.derived_state(res.y, res.region, rock)
-            lhs_new = system.lhs(fluid, rock)
-            _, fluxes = system.rhs(fluid, cond, rock, t0, t1)
+            # final-iterate state carried out of the Newton loop (no
+            # post-solve EOS re-evaluation), same as the single-device
+            # step wrapper
+            fluid, lhs_new, fluxes = res.fluid, res.lhs, res.fluxes
+            res = res._replace(fluid=None, lhs=None, fluxes=None)
             ex = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)
-            return ex(res._replace(
-                iterations=res.iterations,
-                converged=res.converged,
-                failed=res.failed,
-                max_residual=res.max_residual,
-                linear_iterations=res.linear_iterations,
-            )), ex(fluid), ex(lhs_new), ex(fluxes)
+            return ex(res), ex(fluid), ex(lhs_new), ex(fluxes)
+
+        def local_step(*args):
+            return local_step_core(*args)
+
+        def local_step_fast(*args):
+            *base, fluid_last, fluxes_last = args
+            return local_step_core(
+                *base, fluid_last=fluid_last, fluxes_last=fluxes_last
+            )
 
         from waiwera_tpu.solver.newton import NewtonResult
 
@@ -893,30 +910,54 @@ class DistributedSystem:
             y=loc, region=loc, iterations=loc, converged=loc,
             failed=loc, max_residual=loc, linear_iterations=loc,
             worst_cell=loc, worst_equation=loc,
+            fluid=None, lhs=None, fluxes=None,
         )
 
+        base_in_specs = statics_specs + (
+            loc, loc, loc, loc, loc, rep, rep, rep, rep,
+        )
         mapped = jax.shard_map(
             local_step,
             mesh=self.device_mesh,
-            in_specs=statics_specs
-            + (loc, loc, loc, loc, loc, rep, rep, rep, rep),
+            in_specs=base_in_specs,
+            out_specs=(out_res_spec, loc, loc, loc),
+            check_vma=False,
+        )
+        mapped_fast = jax.shard_map(
+            local_step_fast,
+            mesh=self.device_mesh,
+            in_specs=base_in_specs + (loc, loc),
             out_specs=(out_res_spec, loc, loc, loc),
             check_vma=False,
         )
 
         @jax.jit
         def step(y, region, temperature, lhs_last, lhs_last2, t_last, dt,
-                 dt_last, first, rock_in=None):
-            # rock_in: stacked-local time-varying rock (rock controls)
+                 dt_last, first, rock_in=None, fluid_last=None,
+                 fluxes_last=None):
+            # rock_in: stacked-local time-varying rock (rock controls);
+            # its presence invalidates the carried-state initial
+            # residual (fluid_last/fluxes_last were computed under a
+            # different rock), so the fast path is skipped
             st = (
                 statics
                 if rock_in is None
                 else statics[:4] + (rock_in,)
             )
-            res, fluid, lhs_new, fluxes = mapped(
-                *st, y, region, temperature, lhs_last, lhs_last2,
+            common = (
+                y, region, temperature, lhs_last, lhs_last2,
                 t_last, dt, dt_last, first,
             )
+            if (
+                rock_in is None
+                and fluid_last is not None
+                and fluxes_last is not None
+            ):
+                res, fluid, lhs_new, fluxes = mapped_fast(
+                    *st, *common, fluid_last, fluxes_last
+                )
+            else:
+                res, fluid, lhs_new, fluxes = mapped(*st, *common)
             # scalar diagnostics are replicated; take device 0's copy
             res = res._replace(
                 iterations=res.iterations[0],
@@ -1052,6 +1093,40 @@ class DistributedSimulation:
     def initial_tracer_state(self):
         x0, al0 = self.base.initial_tracer_state()
         return self.dist.to_local(x0), self.dist.to_local(al0)
+
+    def initial_fluxes(self, y, region):
+        """Stacked-local face fluxes [D, F_local, nf] at an initial
+        state — seeds the carried-state fast path (same face order the
+        distributed step function returns)."""
+        d = self.dist
+        loc = P(AXIS)
+        statics = (
+            d._mesh_static, d._bsr_static, d._route_static,
+            d._src_static, d._rock_local,
+        )
+        statics_specs = jax.tree_util.tree_map(lambda _: loc, statics)
+
+        def local_fx(mesh_st, bsr_st, route_st, src_st, rock, y, region):
+            sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+            mesh_st, bsr_st, route_st, rock = (
+                sq(mesh_st), sq(bsr_st), sq(route_st), sq(rock),
+            )
+            if src_st is not None:
+                src_st = sq(src_st)
+            system = d._local_system(mesh_st, bsr_st, route_st, src_st)
+            fluid, cond, _ = system.derived_state(
+                y[0], region[0], rock
+            )
+            return system.fluxes(fluid, cond, rock)[None]
+
+        mapped = jax.shard_map(
+            local_fx,
+            mesh=d.device_mesh,
+            in_specs=statics_specs + (loc, loc),
+            out_specs=loc,
+            check_vma=False,
+        )
+        return jax.jit(mapped)(*statics, y, region)
 
     def make_tracer_step_fn(self):
         """Distributed auxiliary tracer solve: local advection/

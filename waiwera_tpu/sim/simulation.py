@@ -570,15 +570,24 @@ class Simulation:
 
         @jax.jit
         def step(y, region, temperature, lhs_last, lhs_last2, t_last, dt,
-                 dt_last, first, rock_in=None):
+                 dt_last, first, rock_in=None, fluid_last=None,
+                 fluxes_last=None):
             # rock_in: time-varying rock properties from rock controls
             # (rock_for at pre-try-timestep); None uses the static rock
+            # fluid_last/fluxes_last: the previous accepted step's
+            # fluid state and face fluxes at (y, region) — enables the
+            # initial-residual reuse in newton_solve (invalid when
+            # rock_in changes the rock those were computed with)
             rock = self.rock if rock_in is None else rock_in
             t0 = t_last
             t1 = t_last + dt
             coeffs = method_coeffs(
                 method, dt, dt_last, first, lhs_last, lhs_last2
             )
+            initial = None
+            if rock_in is None and fluid_last is not None \
+                    and fluxes_last is not None:
+                initial = (fluid_last, lhs_last, fluxes_last)
             res = newton_solve(
                 system,
                 y,
@@ -590,10 +599,12 @@ class Simulation:
                 t1,
                 lhs_scale=lhs_last,
                 params=newton_params,
+                initial=initial,
             )
-            fluid, cond, err = system.derived_state(res.y, res.region, rock)
-            lhs_new = system.lhs(fluid, rock)
-            rhs_new, fluxes = system.rhs(fluid, cond, rock, t0, t1)
+            # final-iterate state carried out of the Newton loop — no
+            # post-solve re-evaluation of the f64 EOS chain
+            fluid, lhs_new, fluxes = res.fluid, res.lhs, res.fluxes
+            res = res._replace(fluid=None, lhs=None, fluxes=None)
             return res, fluid, lhs_new, fluxes
 
         return step
@@ -671,6 +682,13 @@ class Simulation:
     def lhs_at(self, y, region):
         fluid, cond, err = self.system.derived_state(y, region, self.rock)
         return self.system.lhs(fluid, self.rock), fluid, err
+
+    def initial_fluxes(self, y, region):
+        """Face fluxes in the step function's canonical face order at
+        an initial state — seeds the timestep loop's carried-state
+        fast path (newton_solve initial=)."""
+        fluid, cond, _ = self.system.derived_state(y, region, self.rock)
+        return self.system.fluxes(fluid, cond, self.rock)
 
     def fluxes_at(self, y, region):
         """[F, nflux] face fluxes at a state in the host mesh's natural

@@ -291,6 +291,15 @@ class Timestepper:
             )
         temperature = fluid.temperature
         lhs_last2 = lhs
+        # carried face fluxes at the last accepted state: with them
+        # (plus lhs/fluid) the step function skips the initial f64 EOS
+        # chain of every Newton solve (newton_solve initial=). Sims
+        # without initial_fluxes (test doubles) take the classic path.
+        fluxes_carr = (
+            sim.initial_fluxes(y, region)
+            if hasattr(sim, "initial_fluxes")
+            else None
+        )
         dt_last = self.sizes[0] if self.sizes[0] > 0 else 1.0
         if self.tracer_step_fn is not None:
             aux_x, aux_al = sim.initial_tracer_state()
@@ -393,11 +402,20 @@ class Timestepper:
                     jnp.asarray(dt_last),
                     jnp.asarray(1.0 if self.taken == 0 else 0.0),
                 )
+                step_kwargs = {}
                 if getattr(self.sim, "rock_controls", None):
                     # pre-try-timestep rock controls at the try's end
-                    # time (flow_simulation.F90:2040-2094)
+                    # time (flow_simulation.F90:2040-2094); carried
+                    # state was computed under the previous rock, so
+                    # the fast initial residual is skipped
                     step_args = step_args + (self.sim.rock_for(t_try),)
-                res, new_fluid, lhs_new, fluxes = self.step_fn(*step_args)
+                elif fluxes_carr is not None:
+                    step_kwargs = dict(
+                        fluid_last=fluid, fluxes_last=fluxes_carr
+                    )
+                res, new_fluid, lhs_new, fluxes = self.step_fn(
+                    *step_args, **step_kwargs
+                )
                 num_tries += 1
                 converged = bool(res.converged) and not bool(res.failed)
                 its = int(res.iterations)
@@ -513,6 +531,8 @@ class Timestepper:
                 lhs_last2 = lhs
                 lhs = lhs_new
                 fluid = new_fluid
+                if fluxes_carr is not None:
+                    fluxes_carr = fluxes
                 temperature = new_fluid.temperature
                 if tres is not None:
                     aux_x2, aux_al2 = aux_x, aux_al

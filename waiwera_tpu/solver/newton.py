@@ -97,6 +97,13 @@ class NewtonResult(NamedTuple):
     # equation index of the largest scaled residual component
     worst_cell: Array  # int32
     worst_equation: Array  # int32
+    # state at the final iterate, carried out of the loop so the step
+    # wrapper does not re-run the f64 EOS chain (~75 ms/step on the
+    # 512k-cell flagship) just to reproduce what the last iteration
+    # already computed
+    fluid: object = None  # FluidState pytree
+    lhs: Array = None  # [N, npv] balances at y
+    fluxes: Array = None  # [F, nflux] face fluxes at y
 
 
 def newton_solve(
@@ -110,12 +117,24 @@ def newton_solve(
     t1: Array,
     lhs_scale: Array,
     params: NewtonParams = NewtonParams(),
+    initial=None,
 ) -> NewtonResult:
     """Solve r(y) = 0 from initial guess y0.
 
     lhs_scale: the LHS at the last accepted step (steps%last%lhs) used
     to scale the residual norm. temperature0: fluid temperature at y0
     (for transition fallbacks).
+
+    initial: optional (fluid0, lhs0, fluxes0) evaluated at exactly
+    (y0, region0, rock) — normally the previous accepted step's
+    outputs, which the timestep loop carries. When given, the pre-loop
+    residual reuses them and only re-evaluates the (cheap,
+    time-dependent) source-network inflows instead of running the full
+    f64 EOS chain at a state whose properties are already known — the
+    TPU-shaped analogue of the reference's cached balance/flux reuse
+    (flow_simulation.F90:851-878, 1429-1444). Callers MUST NOT pass it
+    when rock differs from the rock those values were computed with
+    (rock controls).
     """
     eos = system.eos
     interior = system.interior_mask
@@ -152,9 +171,19 @@ def newton_solve(
     def _fnorm(r: Array):
         return jnp.sqrt(system.reduce_sum(jnp.sum(r * r)))
 
-    r0, L0, _, err0 = system.residual(
-        y0, region0, rock, coeffs, t0, t1
-    )
+    if initial is not None:
+        fluid0, L0, fx0 = initial
+        r0 = system.residual_from_state(fluid0, L0, fx0, coeffs, t0, t1)
+        err0 = jnp.zeros_like(region0, dtype=bool)
+    else:
+        fluid0, cond0, err0 = system.derived_state(y0, region0, rock)
+        L0 = system.lhs(fluid0, rock)
+        R0, fx0 = system.rhs(fluid0, cond0, rock, t0, t1)
+        r0 = coeffs.c_lhs * L0 + coeffs.const - coeffs.dt_eff * R0
+    # ghost + (distributed) halo/pad rows are zero, exactly as the
+    # loop body's r_new: pad rows would otherwise inject NaN into the
+    # Krylov RHS (their EOS state is meaningless)
+    r0 = jnp.where(interior[:, None], r0, 0.0)
     fnorm0 = _fnorm(r0)
     maxres0, wc0, we0 = _max_scaled_loc(
         r0, lhs_scale, params.function_atol
@@ -172,6 +201,9 @@ def newton_solve(
         linear_its: Array
         worst_cell: Array
         worst_equation: Array
+        fluid: object
+        lhs: Array
+        fluxes: Array
 
     conv0 = (params.min_iterations <= 0) & (
         maxres0 < params.function_rtol
@@ -193,6 +225,9 @@ def newton_solve(
         linear_its=jnp.int32(0),
         worst_cell=wc0,
         worst_equation=we0,
+        fluid=fluid0,
+        lhs=L0,
+        fluxes=fx0,
     )
 
     def cond(s: _State):
@@ -226,15 +261,29 @@ def newton_solve(
                 tangent_dtype=jacobian_dtype,
             )
         with jax.named_scope("linear_solve"):
-            mv, pc = system.linear_operator_from_parts(
-                parts,
-                params.linear_pc,
-                dtype=linear_dtype,
-                sweeps=params.pc_sweeps,
+            # interleaved-domain solve when eligible: the whole Krylov
+            # iteration runs in the Pallas band layout (encode the RHS
+            # once, decode the solution once) instead of paying 4
+            # relayout passes per matvec
+            il_ops = system.interleaved_solver_ops(
+                parts, params.linear_pc, dtype=linear_dtype
             )
-            b_lin = (
-                s.r if linear_dtype is None else s.r.astype(linear_dtype)
-            )
+            if il_ops is not None:
+                mv, pc, enc, dec = il_ops
+                b_lin = enc(s.r)
+            else:
+                mv, pc = system.linear_operator_from_parts(
+                    parts,
+                    params.linear_pc,
+                    dtype=linear_dtype,
+                    sweeps=params.pc_sweeps,
+                )
+                dec = None
+                b_lin = (
+                    s.r
+                    if linear_dtype is None
+                    else s.r.astype(linear_dtype)
+                )
             lin = krylov.solve(
                 params.linear_method,
                 mv,
@@ -247,9 +296,10 @@ def newton_solve(
                 ell=params.linear_ell,
                 reduce_sum=system.reduce_sum,
             )
+            x_lin = lin.x if dec is None else dec(lin.x)
         # halo slots of the Krylov solution are not solved locally;
         # pull them from their owner before the pointwise update
-        dy = system.sync(lin.x.astype(s.y.dtype))
+        dy = system.sync(x_lin.astype(s.y.dtype))
         y_raw = s.y - dy
 
         # post-linesearch: transitions + primary bounds (the
@@ -274,7 +324,7 @@ def newton_solve(
         # residual at the updated iterate (custom linesearch recompute)
         fluid, cond_, perr = system.derived_state(y_new, new_region, rock)
         L_new = system.lhs(fluid, rock)
-        R_new, _ = system.rhs(fluid, cond_, rock, t0, t1)
+        R_new, fx_new = system.rhs(fluid, cond_, rock, t0, t1)
         r_new = coeffs.c_lhs * L_new + coeffs.const - coeffs.dt_eff * R_new
         r_new = jnp.where(interior[:, None], r_new, 0.0)
 
@@ -317,6 +367,9 @@ def newton_solve(
             linear_its=s.linear_its + lin.iterations,
             worst_cell=wc,
             worst_equation=we,
+            fluid=fluid,
+            lhs=L_new,
+            fluxes=fx_new,
         )
 
     final = lax.while_loop(cond, body, state)
@@ -328,6 +381,9 @@ def newton_solve(
         failed=final.failed,
         max_residual=final.max_residual,
         linear_iterations=final.linear_its,
+        fluid=final.fluid,
+        lhs=final.lhs,
+        fluxes=final.fluxes,
         worst_cell=final.worst_cell,
         worst_equation=final.worst_equation,
     )

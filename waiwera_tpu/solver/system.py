@@ -457,6 +457,20 @@ class System:
         r = jnp.where(self.mesh.is_ghost[:, None], 0.0, r)
         return r, L, fluxes, err
 
+    def residual_from_state(self, fluid, L, fluxes, coeffs, t0, t1):
+        """Residual at a state whose (fluid, balances, face fluxes)
+        are already in hand — the previous accepted step's outputs.
+        Face fluxes depend only on the fluid state, so only the
+        time-dependent source-network inflows are re-evaluated; the
+        result follows exactly the residual() formula. This is the
+        assembled-state analogue of the reference's cached
+        balance/flux reuse (flow_simulation.F90:851-878, 1429-1444)."""
+        ghost = self.mesh.is_ghost[:, None]
+        inflow = self._inflows(fluxes) + self.source_term(fluid, t0, t1)
+        R = jnp.where(ghost, 0.0, inflow)
+        r = coeffs.c_lhs * L + coeffs.const - coeffs.dt_eff * R
+        return jnp.where(ghost, 0.0, r)
+
     # -- residual + block Jacobian -------------------------------------
 
     def residual_and_jacobian(
@@ -583,6 +597,56 @@ class System:
         # primal linearization point, so XLA CSEs the overlap; unused
         # outputs are dead-code eliminated
         return self._rj_core(y, region, rock, coeffs, t0, t1)[4]
+
+    def interleaved_solver_ops(self, parts, pc_name, dtype=None):
+        """(matvec_il, pc_il, encode, decode) for a Krylov solve run
+        ENTIRELY in the Pallas interleaved band layout, or None when
+        the configuration is not eligible.
+
+        The natural-layout matvec pays an encode + decode (4 relayout
+        passes over x/y) per application — measured 569 us/apply on
+        the 512k-cell flagship against ~200 us of actual band SpMV.
+        Since Krylov vectors only ever meet the operator, the
+        preconditioner and elementwise vector algebra, the whole solve
+        can stay interleaved: encode the RHS once, decode the solution
+        once. Dots/norms are exact because the padding rows stay zero
+        under every operation (matvec: padded bands are zero;
+        block-Jacobi: padded blocks are zero; axpys preserve zero).
+
+        Eligible: purely banded structure (band_plan; the hybrid MINC
+        tail path stays natural-layout), bjacobi/none preconditioning,
+        f32 vectors, Pallas enabled. Distributed LocalSystem overrides
+        with None (halo terms live in natural layout)."""
+        banded = self.dia is not None and self.band_plan is not None
+        if not banded or pc_name not in ("bjacobi", "jacobi", "none"):
+            return None
+        if dtype is None or jnp.dtype(dtype) != jnp.float32:
+            return None
+        if not dia._use_pallas(jnp.float32):
+            return None
+        from waiwera_tpu.solver.smallblocks import invert_blocks_em
+
+        diag2, lr2, rl2 = parts
+        m64 = dia.bands_from_blocks(
+            self.dia, self.band_plan, diag2, lr2, rl2, None
+        )
+        m = (
+            m64
+            if m64.bands.dtype == jnp.float32
+            else m64._replace(bands=m64.bands.astype(jnp.float32))
+        )
+        pm = dia._interleave_bands(m)
+        if pc_name == "none":
+            pc = lambda r: r
+        else:
+            # factor in the parts' dtype (f64 path keeps full
+            # precision), apply in f32 (make_linear_operator contract)
+            dinv2 = invert_blocks_em(diag2)
+            pc = dia.il_block_jacobi_em(dinv2, pm.n_pad, jnp.float32)
+        n = self.structure.num_rows
+        enc = lambda r: dia.il_encode(r, pm.n_pad)
+        dec = lambda y: dia.il_decode(y, n)
+        return pm.matvec_il, pc, enc, dec
 
     def linear_operator_from_parts(
         self, parts, pc_name, dtype=None, sweeps=3
