@@ -51,7 +51,10 @@ import time
 
 import numpy as np
 
-HIST_SCHEMA = 2  # timing-methodology version (r4 direct forcing)
+# timing-methodology version: 2 = r4 direct forcing (first trial step,
+# convergence unchecked — on the flagship that step actually FAILS);
+# 3 = r5 settled accepted step (adaptive warm-up, convergence asserted)
+HIST_SCHEMA = 3
 
 
 def _is_oom(e: Exception) -> bool:
@@ -178,30 +181,86 @@ def make_step(sim, pc="bjacobi", linear_dtype="float32",
     return sim.make_step_fn(params, "beuler")
 
 
-def time_step(sim, step, reps=3):
+def time_step(sim, step, reps=3, settle=4, dt0=1.0e5):
+    """Time one ACCEPTED implicit step at a production operating point.
+
+    Drives the already-jitted step function with the timestepper's
+    retry ladder (dt*0.2 on failure, timestepper.F90:1995) to find a
+    step size the model accepts, holds that size FIXED for `settle`
+    accepted steps (no amplification: this model steepens as the
+    thermal front develops, so an amplify/fail cycle never settles),
+    then times the NEXT converged step from that state. All warm-up
+    calls reuse the one compiled executable.
+
+    Why: r1-r4 timed the FIRST trial step from the uniform initial
+    state and never checked res.converged — and on the 512k-cell
+    flagship that solve actually diverges to NaN and FAILS (the
+    production timestepper would retry it at dt*0.2). The old headline
+    therefore measured a failed solve. The timed step now must be a
+    converged accepted step or time_step raises.
+    """
     import jax.numpy as jnp
 
-    lhs0, fluid0, _ = sim.lhs_at(sim.y0, sim.region0)
-    fx0 = sim.initial_fluxes(sim.y0, sim.region0)
-    dt = jnp.asarray(1.0e5)
+    lhs, fluid, _ = sim.lhs_at(sim.y0, sim.region0)
+    fx = sim.initial_fluxes(sim.y0, sim.region0)
+    y, region, temp = sim.y0, sim.region0, fluid.temperature
+    lhs2 = lhs
+    t = 0.0
+    dt = dt0
+    dt_last = dt0
+    first = 1.0
+    accepted = 0
+    tries = 0
+    max_tries = 15 + 5 * settle
+
+    def call(dt_try):
+        return step(
+            y, region, temp, lhs, lhs2,
+            jnp.asarray(t), jnp.asarray(dt_try), jnp.asarray(dt_last),
+            jnp.asarray(first), fluid_last=fluid, fluxes_last=fx,
+        )
+
+    while accepted < settle and tries < max_tries:
+        tries += 1
+        res, f_new, lhs_new, fx_new = call(dt)
+        if bool(res.converged) and not bool(res.failed):
+            y, region, temp = res.y, res.region, f_new.temperature
+            lhs2, lhs = lhs, lhs_new
+            fluid, fx = f_new, fx_new
+            t += dt
+            dt_last = dt
+            first = 0.0
+            accepted += 1
+        else:
+            dt *= 0.2
+    if accepted < settle:
+        raise RuntimeError(
+            f"bench settle failed: {accepted}/{settle} accepted "
+            f"in {tries} tries"
+        )
+    res = call(dt)[0]
+    if not (bool(res.converged) and not bool(res.failed)):
+        # the state can steepen even at fixed dt (front passage):
+        # take one rung down the retry ladder for the timed step
+        dt *= 0.2
+        res = call(dt)[0]
+        if not (bool(res.converged) and not bool(res.failed)):
+            raise RuntimeError(
+                "bench step does not converge at the settled state"
+            )
 
     def run():
-        # production configuration: the timestep loop carries
-        # (fluid, lhs, fluxes) between steps, so the step function
-        # reuses them for the initial residual
-        res, fluid, lhs_new, fluxes = step(
-            sim.y0, sim.region0, fluid0.temperature, lhs0, lhs0,
-            jnp.asarray(0.0), dt, dt, jnp.asarray(1.0),
-            fluid_last=fluid0, fluxes_last=fx0,
-        )
-        return res.y
-    t = timeit(run, reps)
-    res, _, _, _ = step(
-        sim.y0, sim.region0, fluid0.temperature, lhs0, lhs0,
-        jnp.asarray(0.0), dt, dt, jnp.asarray(1.0),
-        fluid_last=fluid0, fluxes_last=fx0,
-    )
-    return t, int(res.iterations), int(res.linear_iterations)
+        return call(dt)[0].y
+
+    t_best = timeit(run, reps)
+    # operating-point provenance for the caller (bench artifact)
+    time_step.last_info = {
+        "settle_accepted": accepted,
+        "settle_tries": tries,
+        "dt_timed": float(dt),
+        "sim_time_reached": float(t),
+    }
+    return t_best, int(res.iterations), int(res.linear_iterations)
 
 
 def measure_bandwidth():
@@ -331,9 +390,14 @@ def main():
         "linear_iterations": linear_its,
         "linear_pc": linear_pc,
         "step_seconds": step_seconds,
+        "operating_point": getattr(time_step, "last_info", None),
         "timing_note": (
-            "direct per-rep device forcing (r4); r1-r3 step history "
-            "under-measured ~7x and is not comparable"
+            "settled accepted step (r5): adaptive warm-up with the "
+            "timestepper's retry/amplify rules, then one CONVERGED "
+            "step timed with direct device forcing. r4 timed the "
+            "first trial step without checking convergence — on this "
+            "model that solve diverges to NaN and fails, so r4's "
+            "history is not comparable"
         ),
     }
 
@@ -403,13 +467,23 @@ def main():
                 y, sim.region0, sim.rock, coeffs, jnp.asarray(0.0), dt,
                 tangent_dtype=jnp.float32,
             )
-            mv, pc = system.linear_operator_from_parts(
+            # same solver domain the production Newton body picks:
+            # interleaved band layout when eligible
+            il = system.interleaved_solver_ops(
                 parts, linear_pc, dtype=jnp.float32
             )
-            res = krylov.solve("bcgs", mv, r.astype(jnp.float32),
+            if il is not None:
+                mv, pc, enc, dec = il
+                b_lin = enc(r)
+            else:
+                mv, pc = system.linear_operator_from_parts(
+                    parts, linear_pc, dtype=jnp.float32
+                )
+                b_lin = r.astype(jnp.float32)
+            res = krylov.solve("bcgs", mv, b_lin,
                                precond=pc, rtol=1e-5)
-            return jnp.stack([res.x[0, 0],
-                              res.iterations.astype(jnp.float32)])
+            x0 = res.x.reshape(-1)[0]
+            return jnp.stack([x0, res.iterations.astype(jnp.float32)])
 
         t_rjl = timeit(lambda: lin_only(sim.y0))
         lin_its_one = int(np.asarray(lin_only(sim.y0))[1])
@@ -441,35 +515,31 @@ def main():
         t_trans = timeit(lambda: trans_only(sim.y0))
         result["transition_seconds"] = t_trans
 
-        # post-solve output stage: fluid/lhs/fluxes at the accepted
-        # iterate (computed outside the Newton while_loop, so no CSE
-        # with the in-loop residual)
+        # carried-state initial residual (rhs_from_fluxes + sources
+        # only — the r5 step reuses the previous accepted step's
+        # fluid/lhs/fluxes instead of re-running the f64 EOS chain)
+        fx0 = sim.initial_fluxes(sim.y0, sim.region0)
+
         @jax.jit
-        def out_only(y):
-            fluid_, cond_, _ = system.derived_state(
-                y, sim.region0, sim.rock
-            )
-            L = system.lhs(fluid_, sim.rock)
-            R, fx = system.rhs(
-                fluid_, cond_, sim.rock, jnp.asarray(0.0), dt
-            )
-            return L[:1, :1] + fx[:1, :1]
+        def r0_fast(L, fx):
+            return system.residual_from_state(
+                fluid0, L, fx, coeffs, jnp.asarray(0.0), dt
+            )[:1, :1]
 
-        t_out = timeit(lambda: out_only(sim.y0))
-        result["output_state_seconds"] = t_out
+        t_r0 = timeit(lambda: r0_fast(lhs0, fx0))
+        result["initial_residual_seconds"] = t_r0
 
-        # stage sum per the Newton loop: initial residual +
-        # its * (jacobian + transitions + post-linesearch recompute)
-        # + the linear solve scaled to the step's total Krylov
-        # iterations (later solves need more than the y0 solve above)
-        # + the post-solve output stage
+        # stage sum per the r5 Newton loop: carried-state initial
+        # residual + its * (jacobian + transitions + post-linesearch
+        # recompute) + the linear solve scaled to the step's total
+        # Krylov iterations. Final-iterate fluid/lhs/fluxes are
+        # carried out of the loop (no separate output stage).
         its = max(iterations, 1)
         lin_per_it = t_lin / max(lin_its_one, 1)
         stage_sum = (
-            t_res
+            t_r0
             + its * (t_jac + t_trans + t_res)
             + linear_its * lin_per_it
-            + t_out
         )
         result["stage_sum_seconds"] = stage_sum
         result["stage_vs_step"] = stage_sum / step_seconds
