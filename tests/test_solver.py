@@ -553,14 +553,12 @@ def test_band_plan_pack_no_padding_slack():
     )
 
 
-def test_hybrid_face_plan_minc():
-    """MINC meshes (banded fracture lattice + appended matrix chains)
-    must take the hybrid path: periodic face plan for the lattice
-    prefix, indexed tail for chains/ghosts — and the hybrid operator
-    must match the BSR/ELL fallback exactly."""
+def _minc_hybrid_sim():
+    """Small MINC model whose Jacobian takes the hybrid banded+tail
+    path (shared by the hybrid-operator and interleaved-domain
+    tests)."""
     from waiwera_tpu.mesh.rect import rectangular_mesh
     from waiwera_tpu.sim.simulation import Simulation
-    from waiwera_tpu.solver.system import MethodCoeffs
 
     nx, ny, nz = 6, 4, 4
     mesh = rectangular_mesh(
@@ -594,7 +592,17 @@ def test_hybrid_face_plan_minc():
             }
         ],
     }
-    sim = Simulation(config, mesh=mesh)
+    return Simulation(config, mesh=mesh)
+
+
+def test_hybrid_face_plan_minc():
+    """MINC meshes (banded fracture lattice + appended matrix chains)
+    must take the hybrid path: periodic face plan for the lattice
+    prefix, indexed tail for chains/ghosts — and the hybrid operator
+    must match the BSR/ELL fallback exactly."""
+    from waiwera_tpu.solver.system import MethodCoeffs
+
+    sim = _minc_hybrid_sim()
     system = sim.system
     assert system.band_plan is None  # MINC breaks pure banding
     assert system.face_plan is not None  # ...but the hybrid holds
@@ -625,6 +633,52 @@ def test_hybrid_face_plan_minc():
             np.asarray(pc_b(v)), np.asarray(pc_a(v)),
             rtol=1e-10, atol=1e-10,
         )
+
+
+def test_interleaved_solver_ops_hybrid(monkeypatch):
+    """The interleaved-domain solve must also cover hybrid MINC
+    structures: band SpMV in the Pallas layout + tail gathers/scatters
+    by flat interleaved index, matching the natural-layout hybrid
+    operator (pallas interpret mode on CPU)."""
+    from waiwera_tpu.solver.system import MethodCoeffs
+
+    monkeypatch.setenv("WAIWERA_TPU_PALLAS", "on")
+    sim = _minc_hybrid_sim()
+    system = sim.system
+    assert system.hybrid is not None
+    assert int(system._tail_cl.shape[0]) > 0
+
+    lhs0, _, _ = sim.lhs_at(sim.y0, sim.region0)
+    coeffs = MethodCoeffs(
+        c_lhs=jnp.asarray(1.0), dt_eff=jnp.asarray(1e4), const=-lhs0
+    )
+    _, _, _, _, parts = system.residual_and_jacobian_parts(
+        sim.y0, sim.region0, sim.rock, coeffs,
+        jnp.asarray(0.0), jnp.asarray(1e4),
+    )
+    il = system.interleaved_solver_ops(parts, "bjacobi", jnp.float32)
+    assert il is not None
+    mv_il, pc_il, enc, dec = il
+    mv, pc = system.linear_operator_from_parts(
+        parts, "bjacobi", dtype=jnp.float32
+    )
+    nrows = system.mesh.num_cells
+    v = jnp.asarray(
+        np.random.default_rng(23)
+        .standard_normal((nrows, system.npv))
+        .astype(np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec(enc(v))), np.asarray(v), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec(mv_il(enc(v)))), np.asarray(mv(v)),
+        rtol=2e-5, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec(pc_il(enc(v)))), np.asarray(pc(v)),
+        rtol=2e-5, atol=2e-4,
+    )
 
 
 def test_band_plan_none_on_permuted_mesh():

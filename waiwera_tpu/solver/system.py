@@ -613,29 +613,79 @@ class System:
         under every operation (matvec: padded bands are zero;
         block-Jacobi: padded blocks are zero; axpys preserve zero).
 
-        Eligible: purely banded structure (band_plan; the hybrid MINC
-        tail path stays natural-layout), bjacobi/none preconditioning,
-        f32 vectors, Pallas enabled. Distributed LocalSystem overrides
+        Eligible: banded structure (band_plan) or the hybrid
+        banded+tail structure (MINC chains, irregular faces — the
+        tail's indexed gathers/scatters address the interleaved
+        buffer by flat index), bjacobi/none preconditioning, f32
+        vectors, Pallas enabled. Distributed LocalSystem overrides
         with None (halo terms live in natural layout)."""
         banded = self.dia is not None and self.band_plan is not None
-        if not banded or pc_name not in ("bjacobi", "jacobi", "none"):
+        if (
+            (not banded and self.hybrid is None)
+            or pc_name not in ("bjacobi", "jacobi", "none")
+        ):
             return None
         if dtype is None or jnp.dtype(dtype) != jnp.float32:
             return None
         if not dia._use_pallas(jnp.float32):
             return None
-        from waiwera_tpu.solver.smallblocks import invert_blocks_em
+        from waiwera_tpu.solver.smallblocks import (
+            apply_blocks_em,
+            invert_blocks_em,
+        )
 
         diag2, lr2, rl2 = parts
-        m64 = dia.bands_from_blocks(
-            self.dia, self.band_plan, diag2, lr2, rl2, None
-        )
+        if banded:
+            m64 = dia.bands_from_blocks(
+                self.dia, self.band_plan, diag2, lr2, rl2, None
+            )
+        else:
+            synth_dia, synth_plan = self.hybrid
+            m64 = dia.bands_from_blocks(
+                synth_dia, synth_plan, diag2, lr2, rl2, None
+            )
         m = (
             m64
             if m64.bands.dtype == jnp.float32
             else m64._replace(bands=m64.bands.astype(jnp.float32))
         )
         pm = dia._interleave_bands(m)
+        nq = pm.n_pad // dia._Q
+        b = self.npv
+
+        if banded or int(self._tail_cl.shape[0]) == 0:
+            mv = pm.matvec_il
+        else:
+            # hybrid tail (MINC matrix chains, irregular faces): the
+            # same small indexed gathers as the natural-layout path,
+            # but addressing the interleaved buffer by flat index —
+            # cell c, component j lives at flat (j*8 + c%8)*nq + c//8
+            fl_ = self.face_plan.f_live
+            lr_t = lr2[:, fl_:].astype(jnp.float32)
+            rl_t = rl2[:, fl_:].astype(jnp.float32)
+
+            def il_idx(cells):
+                c = cells.astype(jnp.int32)
+                rows = (c % dia._Q)[None, :] + dia._Q * jnp.arange(
+                    b, dtype=jnp.int32
+                )[:, None]  # [b, T]
+                return rows * nq + (c // dia._Q)[None, :]
+
+            idx_l = il_idx(self._tail_cl)  # [b, T]
+            idx_r = il_idx(self._tail_cr)
+
+            def mv(x_il):
+                y_il = pm.matvec_il(x_il)
+                xf = x_il.reshape(-1)
+                xl = xf[idx_l].T  # [T, b]
+                xr = xf[idx_r].T
+                add_l = apply_blocks_em(lr_t, xr)  # [T, b]
+                add_r = apply_blocks_em(rl_t, xl)
+                yf = y_il.reshape(-1)
+                yf = yf.at[idx_l.T.reshape(-1)].add(add_l.reshape(-1))
+                yf = yf.at[idx_r.T.reshape(-1)].add(add_r.reshape(-1))
+                return yf.reshape(y_il.shape)
+
         if pc_name == "none":
             pc = lambda r: r
         else:
@@ -646,7 +696,7 @@ class System:
         n = self.structure.num_rows
         enc = lambda r: dia.il_encode(r, pm.n_pad)
         dec = lambda y: dia.il_decode(y, n)
-        return pm.matvec_il, pc, enc, dec
+        return mv, pc, enc, dec
 
     def linear_operator_from_parts(
         self, parts, pc_name, dtype=None, sweeps=3
