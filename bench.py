@@ -47,6 +47,7 @@ with the same (fixed) methodology.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -676,6 +677,14 @@ def main():
 
         norm_per = time_fori(make_norm_chain)
         spmv_seconds = max(per - norm_per, 1e-12)
+        # sanity: an SpMV faster than 1 us cannot be real on any mesh
+        # this bench runs — the chain slope fell below timer noise
+        # (only happens at tiny BENCH_NX debug sizes)
+        if spmv_seconds < 1e-6:
+            raise RuntimeError(
+                f"chain slope {spmv_seconds:.2e}s below timer noise; "
+                "roofline needs a larger mesh"
+            )
         result["spmv_nnz_per_s"] = nnz / spmv_seconds
         # bytes at speed of light: band data + one x read + one y write
         spmv_bytes = 4.0 * (nnz + 2 * nrows * npv)
@@ -912,4 +921,12 @@ def main():
 
 
 if __name__ == "__main__":
+    # deterministic tracing -> deterministic HLO -> persistent-cache
+    # HITS across processes: with a random hash seed each bench run
+    # re-traces to a slightly different program and recompiles the
+    # ~6-min flagship step from scratch (measured: 2 duplicate cache
+    # entries per fn, 1018 s wall vs 243 s warm)
+    if os.environ.get("PYTHONHASHSEED") != "0":
+        os.environ["PYTHONHASHSEED"] = "0"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     main()
